@@ -1,0 +1,179 @@
+"""Text → phoneme-ID frontend.
+
+Host-side (CPU) pipeline, mirroring the reference behaviour
+(reference: matcha/text/phonemizers.py):
+
+    raw text
+      → NeMo text normalization        (en/es/pt/de/fr/it; optional dep)
+      → regex cleanup                  (cleanup_text, pure)
+      → eSpeak-ng IPA phonemization    (10 languages; optional dep)
+      → silence-space injection        (LEADING/TRAILING_SILENCE_SPACES)
+      → tokenization                   (tokenize_phonemes, pure)
+
+The accelerator never sees text: this module produces int32 ID sequences that
+feed the jitted TPU graph.  Every *voiced* phoneme P expands to the triple
+(PRE_ID+P, P, POST_ID+P) so the encoder can model co-articulation transitions
+explicitly (reference: matcha/text/phonemizers.py:140-152).
+
+eSpeak-ng and NeMo are C/FST libraries that only exist on the host; they are
+imported lazily so the compute path (and the test-suite) never requires them.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from functools import lru_cache
+from pathlib import Path
+
+from matcha_tpu.text.symbols import PRE_ID, POST_ID, symbol_to_id, voiced_phoneme_ids
+
+logger = logging.getLogger(__name__)
+
+SUPPORTED_LANGUAGES = ("en-us", "en-gb", "ro", "fr-fr", "de", "es", "pt", "it", "ja", "he")
+NEMO_LANGUAGES = ("en", "es", "pt", "de", "fr", "it")
+
+# Silence anchors injected after eSpeak runs (it collapses edge whitespace).
+# Corpus wavs are silence-normalized, so each injected space owns a stable
+# share of mel frames after alignment (reference: phonemizers.py:54-66).
+LEADING_SILENCE_SPACES = 1
+TRAILING_SILENCE_SPACES = 0
+
+
+# ---------------------------------------------------------------------------
+# Pure text processing (hermetic, no external deps)
+# ---------------------------------------------------------------------------
+
+def cleanup_text(text: str) -> str:
+    """Regex cleanup applied between normalization and phonemization.
+
+    Behavioural contract (reference: phonemizers.py:69-81, specified by
+    tests/test_phonemizers.py): strip quote-like characters, turn bracketing
+    or dash-like symbols into a comma+space pause, collapse comma runs, drop
+    commas that collide with sentence punctuation, and guarantee terminal
+    punctuation.
+    """
+    text = re.sub('["„“”«»¡¿]', "", text)
+    text = re.sub(r"\s*[,<>()\[\]{}—–…]\s*", ", ", text)
+    text = re.sub(r"\s+([.?!,;:])", r"\1", text)  # no spaces before punctuation
+    text = re.sub(r"^,\s*", "", text)  # no leading comma
+    text = re.sub(r",\s*,", ",", text)  # no comma runs
+    text = re.sub(r",\s*([.?!])", r"\1", text)  # no comma before sentence end
+
+    text = text.strip()
+    if not text.endswith((".", "?", "!")):
+        text += "."
+    return text
+
+
+def emphasize_intonation_marks(text: str) -> str:
+    """Double lone '?' so rising intonation is clearly audible.
+
+    Runs of 2+ marks and mixed pairs like '?!' are left untouched
+    (reference: matcha/inference.py:200-209).  Idempotent.
+    """
+    return re.sub(r"(?<![?!])\?(?![?!])", "??", text)
+
+
+def tokenize_phonemes(phonemes: str) -> tuple[str, list[int]]:
+    """Map an IPA string to model IDs with (pre, P, post) voiced expansion.
+
+    Returns ``(debug_string, ids)`` where the debug string marks expanded
+    voiced phonemes as ``‹P›`` (display only).  Raises ``KeyError`` for
+    symbols outside the frozen inventory — corpus validation catches those
+    up-front (see matcha_tpu.utils.validate_corpus_ipa).
+    """
+    ids: list[int] = []
+    debug: list[str] = []
+    for ch in phonemes:
+        pid = symbol_to_id[ch]
+        if pid in voiced_phoneme_ids:
+            ids.extend((PRE_ID + pid, pid, POST_ID + pid))
+            debug.extend(("‹", ch, "›"))
+        else:
+            ids.append(pid)
+            debug.append(ch)
+    return "".join(debug), ids
+
+
+# ---------------------------------------------------------------------------
+# Optional host-side C/FST dependencies, lazily initialized
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _get_normalizer(lang_code: str):
+    if lang_code not in NEMO_LANGUAGES:
+        return None
+    try:
+        from nemo_text_processing.text_normalization.normalize import Normalizer
+    except ImportError:
+        logger.warning("nemo_text_processing not installed; skipping normalization")
+        return None
+    cache_base = Path(os.environ.get("MATCHA_CACHE_DIR", Path.cwd() / ".cache"))
+    cache_dir = cache_base / "nemo" / "grammars"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    try:
+        return Normalizer(input_case="cased", lang=lang_code, cache_dir=str(cache_dir))
+    except Exception as exc:  # pragma: no cover - depends on grammar downloads
+        logger.warning("NeMo normalizer unavailable for %s: %s", lang_code, exc)
+        return None
+
+
+@lru_cache(maxsize=None)
+def _get_espeak_backend(language: str):
+    if language not in SUPPORTED_LANGUAGES:
+        raise ValueError(f"Unsupported {language=}")
+    try:
+        import phonemizer as _phonemizer
+    except ImportError as exc:
+        raise RuntimeError(
+            "The 'phonemizer' package (eSpeak-ng backend) is required for raw-text "
+            "input. Install matcha-tts-24k-tpu[text], or feed precomputed phoneme "
+            "IDs (see tokenize_phonemes)."
+        ) from exc
+    espeak_logger = logging.getLogger("phonemizer")
+    espeak_logger.setLevel(logging.ERROR)  # eSpeak is very verbose
+    return _phonemizer.backend.EspeakBackend(
+        language=language,
+        preserve_punctuation=True,
+        with_stress=True,
+        language_switch="remove-flags",
+        logger=espeak_logger,
+    )
+
+
+def normalize_text(lang_code: str, text: str) -> str:
+    """NeMo text normalization (numbers, abbreviations, ...), if available.
+
+    The smart left single quote confuses NeMo, so it is removed up-front;
+    the right one doubles as an apostrophe and is handled fine by eSpeak
+    (reference: phonemizers.py:88-95).
+    """
+    text = text.replace("‘", "")
+    normalizer = _get_normalizer(lang_code)
+    if normalizer is not None:
+        text = normalizer.normalize(text)
+    return text
+
+
+def phonemize(text: str, language: str) -> str:
+    """Raw text → IPA string with silence-space anchors injected."""
+    backend = _get_espeak_backend(language)
+    ipa = backend.phonemize([text])[0].rstrip()
+    return " " * LEADING_SILENCE_SPACES + ipa + " " * TRAILING_SILENCE_SPACES
+
+
+def multilingual_phonemizer(text: str, language: str) -> tuple[str, list[int]]:
+    """Full frontend: normalize → cleanup → eSpeak → tokenize.
+
+    Same contract as the reference entry point (phonemizers.py:96-152):
+    returns ``(debug_string, phoneme_ids)``.
+    """
+    if language not in SUPPORTED_LANGUAGES:
+        raise ValueError(f"Unsupported {language=}")
+    lang_code = language.split("-")[0]
+    text = normalize_text(lang_code, text)
+    text = cleanup_text(text)
+    phonemes = phonemize(text, language)
+    return tokenize_phonemes(phonemes)
