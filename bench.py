@@ -1,0 +1,92 @@
+"""Headline benchmark: batched 24 kHz synthesis RTF per chip.
+
+Measures the full accelerator graph — CFM ODE decode (midpoint, 4 steps →
+8 U-Net evals) + Vocos vocoder — on the production model config at a
+serving-realistic batch, and reports real-time factor per chip:
+
+    RTF = wall_time / total_audio_seconds        (lower is better)
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+`vs_baseline` compares against the BASELINE.json north-star target of
+RTF < 0.01 per chip (values < 1.0 beat the target).  Weights are random —
+RTF is architecture/compiler work, independent of weight values.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from matcha_tpu.inference import MatchaSynthesizer
+    from matcha_tpu.models.config import MatchaConfig
+    from matcha_tpu.models.matcha import init_params
+    from matcha_tpu.vocoder.vocos import VocosConfig, init_vocos_params
+
+    cfg = MatchaConfig()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    vocos_params = init_vocos_params(jax.random.PRNGKey(1))
+    synth = MatchaSynthesizer(cfg, params, vocos_params, VocosConfig())
+
+    # serving-realistic batch: B utterances x ~5.4 s each
+    batch, tx, y_fine_len = 8, 256, 1024
+    rng = np.random.default_rng(0)
+    mu_x = jnp.asarray(
+        rng.standard_normal((batch, tx, cfg.n_feats)), jnp.float32
+    )
+    durations = jnp.full((batch, tx), y_fine_len // tx, jnp.float32)
+    x_mask = jnp.ones((batch, tx), jnp.float32)
+    y_fine_lengths = jnp.full((batch,), y_fine_len, jnp.int32)
+
+    def run():
+        mel, wav = synth._decode_jit(
+            synth.params,
+            synth.vocos_params,
+            mu_x,
+            durations,
+            x_mask,
+            y_fine_lengths,
+            y_fine_len=y_fine_len,
+            n_timesteps=4,
+            solver="midpoint",
+        )
+        return wav
+
+    # warmup/compile
+    run().block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        wav = run()
+    wav.block_until_ready()
+    elapsed = (time.perf_counter() - t0) / iters
+
+    coarse_frames = y_fine_len // 2
+    audio_seconds = batch * (coarse_frames - 1) * 256 / 24000
+    rtf = elapsed / audio_seconds
+    target = 0.01  # BASELINE.json north star: RTF < 0.01 per v5e chip
+
+    print(
+        json.dumps(
+            {
+                "metric": "batched_synthesis_rtf_per_chip",
+                "value": round(rtf, 6),
+                "unit": "rtf",
+                "vs_baseline": round(rtf / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

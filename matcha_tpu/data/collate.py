@@ -1,0 +1,86 @@
+"""Batch assembly: dataset items → padded, bucketed Batch arrays.
+
+Pads phoneme IDs / coarse mel / fine mel to the bucket shapes chosen by the
+sampler (reference collate: matcha/data/text_mel_datamodule.py:469-518 pads
+to the batch max; here the pad target is the bucket so shapes are static).
+The fine mel is exactly 2x the coarse length, preserving the reference's
+``y_fine = 2*y`` contract.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from matcha_tpu.data.dataset import TextMelDataset
+from matcha_tpu.data.sampler import BucketPlan, round_up
+from matcha_tpu.train.step import Batch
+
+
+def collate(
+    dataset: TextMelDataset,
+    plan: BucketPlan,
+    text_bucket: int = 32,
+) -> Batch:
+    items = [dataset[i] for i in plan.indices]
+    b = plan.batch_size
+    ty = plan.mel_len
+    tx = round_up(max(len(it["x"]) for it in items), text_bucket)
+    n_feats = items[0]["y"].shape[1]
+
+    x = np.zeros((b, tx), np.int32)
+    x_lengths = np.zeros((b,), np.int32)
+    y = np.zeros((b, ty, n_feats), np.float32)
+    y_lengths = np.zeros((b,), np.int32)
+    y_fine = np.zeros((b, 2 * ty, n_feats), np.float32)
+    y_fine_lengths = np.zeros((b,), np.int32)
+    spks = np.zeros((b,), np.int32)
+
+    for k, it in enumerate(items):
+        n = len(it["x"])
+        x[k, :n] = it["x"]
+        x_lengths[k] = n
+        ny = min(it["y"].shape[0], ty)
+        y[k, :ny] = it["y"][:ny]
+        y_lengths[k] = ny
+        nf = min(it["y_fine"].shape[0], 2 * ty)
+        y_fine[k, :nf] = it["y_fine"][:nf]
+        y_fine_lengths[k] = nf
+        spks[k] = it["spk"]
+
+    return Batch(x, x_lengths, y, y_lengths, y_fine, y_fine_lengths, spks)
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Threaded host-side prefetch so collation overlaps device compute."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+def epoch_batches(
+    dataset: TextMelDataset,
+    sampler,
+    epoch: int,
+    text_bucket: int = 32,
+    prefetch_depth: int = 2,
+) -> Iterator[Batch]:
+    plans = sampler.create_batches(epoch)
+    gen = (collate(dataset, p, text_bucket) for p in plans)
+    yield from prefetch(gen, prefetch_depth)

@@ -1,0 +1,338 @@
+"""End-to-end synthesis pipeline: text → 24 kHz waveform on TPU.
+
+The reference pipeline (matcha/inference.py) runs eager torch with
+torch.compile on the estimator only.  Here the WHOLE accelerator graph —
+encoder → duration rounding → hard alignment → prior assembly → ODE decode →
+denormalize → Vocos → peak-normalize — compiles into exactly two jit
+programs per shape bucket:
+
+  stage A (text bucket):        ids → (mu_x, durations)
+  stage B (text x mel bucket):  (mu_x, durations) → waveform
+
+Static shapes come from a small geometric bucket ladder; the only host-side
+decision between the stages is choosing the mel bucket from the predicted
+total duration (a scalar).  Warming the bucket set at server start gives
+recompile-free serving.
+
+Host-side work (eSpeak phonemization, silence trimming, mp3 encode) stays on
+CPU exactly as in the reference — it is C-library, not accelerator, work.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matcha_tpu.models.config import MatchaConfig
+from matcha_tpu.models.matcha import MatchaTTS
+from matcha_tpu.utils.model_math import (
+    denormalize,
+    downsample_time,
+    fix_len_compatibility,
+    generate_path,
+    sequence_mask,
+)
+from matcha_tpu.vocoder.vocos import Vocos, VocosConfig
+
+SAMPLE_RATE = 24000
+STD_RES_HOP_LENGTH = 256
+HIGH_RES_HOP_LENGTH = 128
+
+DEFAULT_ODE_SOLVER = "midpoint"
+DEFAULT_NUM_STEPS = 4
+
+# Voice registry: per-speaker duration scale corrections measured against
+# ground truth after training (reference: matcha/inference.py:16-32).
+VOICES: list[dict[str, Any]] = [
+    {"id": "0", "lang": "en-us", "gender": "male", "name": "Kai", "scale_correction": 1.08},
+    {"id": "1", "lang": "en-us", "gender": "female", "name": "Jane", "scale_correction": 1.05},
+    {"id": "2", "lang": "en-us", "gender": "female", "name": "Aria", "scale_correction": 1.05},
+    {"id": "3", "lang": "en-us", "gender": "female", "name": "Bella", "scale_correction": 1.03},
+    {"id": "4", "lang": "en-gb", "gender": "male", "name": "Brian", "scale_correction": 1.08},
+    {"id": "5", "lang": "en-gb", "gender": "male", "name": "Arthur", "scale_correction": 1.08},
+    {"id": "6", "lang": "en-us", "gender": "female", "name": "Nicole", "scale_correction": 1.05},
+    {"id": "7", "lang": "ro", "gender": "male", "name": "Emil", "scale_correction": 1.04},
+    {"id": "8", "lang": "fr-fr", "gender": "female", "name": "Denise", "scale_correction": 1.05},
+    {"id": "9", "lang": "fr-fr", "gender": "male", "name": "Henri", "scale_correction": 1.03},
+    {"id": "10", "lang": "en-us", "gender": "male", "name": "Matthew", "scale_correction": 1.06},
+    {"id": "11", "lang": "en-us", "gender": "male", "name": "Lewis", "scale_correction": 1.08},
+    {"id": "12", "lang": "en-us", "gender": "male", "name": "Michael", "scale_correction": 1.03},
+    {"id": "13", "lang": "it", "gender": "female", "name": "Isabella", "scale_correction": 1.07},
+    {"id": "14", "lang": "it", "gender": "male", "name": "Marcello", "scale_correction": 1.07},
+]
+
+
+def voice_by_id(speaker_id: int | str) -> dict[str, Any]:
+    sid = str(speaker_id)
+    for v in VOICES:
+        if v["id"] == sid:
+            return v
+    raise KeyError(f"Unknown voice id {speaker_id!r}")
+
+
+# ---------------------------------------------------------------------------
+# shape buckets
+# ---------------------------------------------------------------------------
+
+DEFAULT_TEXT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4000)
+# fine-mel buckets; must be even multiples of 2**num_downsamples x 2
+DEFAULT_MEL_FINE_BUCKETS = (256, 512, 1024, 2048, 4096, 8192)
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"Length {n} exceeds largest bucket {buckets[-1]}")
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SynthesisResult:
+    wav: np.ndarray                       # (n_samples,) float32 in [-1, 1]
+    rtf: float
+    mel: np.ndarray | None = None         # (frames, n_mels) denormalized
+    durations: np.ndarray | None = None   # (tokens,) fine frames
+    encoder_wav: np.ndarray | None = None
+
+
+class MatchaSynthesizer:
+    """Holds params + jit caches and exposes synthesise().
+
+    One instance ↔ one (model checkpoint, vocoder checkpoint) pair.
+    """
+
+    def __init__(
+        self,
+        cfg: MatchaConfig,
+        params,
+        vocos_params=None,
+        vocos_cfg: VocosConfig = VocosConfig(),
+        text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
+        mel_fine_buckets: Sequence[int] = DEFAULT_MEL_FINE_BUCKETS,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.model = MatchaTTS(cfg)
+        self.vocos_cfg = vocos_cfg
+        self.vocos_params = vocos_params
+        self.vocos = Vocos(vocos_cfg) if vocos_params is not None else None
+        self.text_buckets = tuple(text_buckets)
+        self.mel_fine_buckets = tuple(
+            fix_len_compatibility(b // 2) * 2 for b in mel_fine_buckets
+        )
+        self._encode_jit = jax.jit(self._encode)
+        self._decode_jit = jax.jit(
+            self._decode, static_argnames=("y_fine_len", "n_timesteps", "solver")
+        )
+
+    # -- stage A ------------------------------------------------------------
+
+    def _encode(self, params, x, x_lengths, spk_enc, spk_dur, scale):
+        x_mask = sequence_mask(x_lengths, x.shape[1]).astype(jnp.float32)
+        mu_x, durations = self.model.apply(
+            {"params": params}, x, x_mask, spk_enc, spk_dur, method=MatchaTTS.encode
+        )
+        # per-speaker correction x user pace, then round-to-nearest with a
+        # floor of 1 frame (reference: inference.py:130-143)
+        durations = durations * scale
+        durations = jnp.clip(jnp.round(durations), min=1.0) * x_mask
+        return mu_x, durations, x_mask
+
+    # -- stage B ------------------------------------------------------------
+
+    def _decode(
+        self,
+        params,
+        vocos_params,
+        mu_x,
+        durations,
+        x_mask,
+        y_fine_lengths,
+        *,
+        y_fine_len: int,
+        n_timesteps: int,
+        solver: str,
+    ):
+        y_fine_mask = sequence_mask(y_fine_lengths, y_fine_len).astype(jnp.float32)
+        attn_mask = x_mask[:, :, None] * y_fine_mask[:, None, :]
+        attn = generate_path(durations.astype(jnp.int32), attn_mask)
+        # fp32 prior assembly (bf16 matmul precision is not enough here;
+        # reference: inference.py:154-160)
+        mu_y_fine = jnp.einsum(
+            "bij,bic->bjc",
+            attn.astype(jnp.float32),
+            mu_x.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        mu_y = downsample_time(mu_y_fine)
+        y_lengths = (y_fine_lengths + 1) // 2
+        y_mask = sequence_mask(y_lengths, mu_y.shape[1]).astype(jnp.float32)
+
+        dec = self.model.apply(
+            {"params": params},
+            mu_y,
+            y_mask,
+            n_timesteps,
+            solver,
+            method=MatchaTTS.decode,
+        )
+        stats = self.cfg.data_statistics
+        mel = denormalize(dec, stats.mel_mean, stats.mel_std)
+        mel = mel * y_mask[..., None] + (1.0 - y_mask[..., None]) * stats.mel_mean
+
+        if vocos_params is None:
+            return mel, None
+        wav = Vocos(self.vocos_cfg).apply({"params": vocos_params}, mel)
+        # peak-normalize to 0.95 only when clipping (reference: inference.py:260-265)
+        peak = jnp.max(jnp.abs(wav), axis=-1, keepdims=True)
+        wav = jnp.where(peak > 1.0, wav / peak * 0.95, wav)
+        return mel, wav
+
+    # -- public -------------------------------------------------------------
+
+    def speaker_embedding(self, voice_mix: Sequence[tuple[int, float]]):
+        """Weighted blend of speaker-embedding rows over both tables.
+
+        (reference: matcha/inference.py:57-76)
+        """
+        enc_tab = self.params["speaker_embeddings_enc"]["embedding"]
+        dur_tab = self.params["speaker_embeddings_dur"]["embedding"]
+        enc = sum(w * enc_tab[i] for i, w in voice_mix)
+        dur = sum(w * dur_tab[i] for i, w in voice_mix)
+        return jnp.asarray(enc)[None], jnp.asarray(dur)[None]
+
+    def synthesise_ids(
+        self,
+        phoneme_ids: Sequence[int],
+        speaker: int = 0,
+        voice_mix: Sequence[tuple[int, float]] | None = None,
+        n_timesteps: int = DEFAULT_NUM_STEPS,
+        solver: str = DEFAULT_ODE_SOLVER,
+        length_scale: float = 1.0,
+        scale_correction: float | None = None,
+        debug: bool = False,
+    ) -> SynthesisResult:
+        t0 = time.perf_counter()
+        if voice_mix is None:
+            voice_mix = [(speaker, 1.0)]
+        if scale_correction is None:
+            try:
+                scale_correction = voice_by_id(voice_mix[0][0])["scale_correction"]
+            except KeyError:
+                scale_correction = 1.0
+
+        n = len(phoneme_ids)
+        tx = pick_bucket(n, self.text_buckets)
+        x = np.zeros((1, tx), np.int32)
+        x[0, :n] = phoneme_ids
+        x_lengths = jnp.asarray([n], jnp.int32)
+        spk_enc, spk_dur = self.speaker_embedding(voice_mix)
+        scale = jnp.asarray(scale_correction * length_scale, jnp.float32)
+
+        mu_x, durations, x_mask = self._encode_jit(
+            self.params, jnp.asarray(x), x_lengths, spk_enc, spk_dur, scale
+        )
+
+        total_fine = int(np.asarray(jnp.sum(durations, axis=1))[0])
+        total_fine = max(total_fine, 2)
+        y_fine_len = pick_bucket(total_fine, self.mel_fine_buckets)
+        y_fine_lengths = jnp.asarray([total_fine], jnp.int32)
+
+        mel, wav = self._decode_jit(
+            self.params,
+            self.vocos_params,
+            mu_x,
+            durations,
+            x_mask,
+            y_fine_lengths,
+            y_fine_len=y_fine_len,
+            n_timesteps=n_timesteps,
+            solver=solver,
+        )
+
+        n_frames = (total_fine + 1) // 2
+        mel_np = np.asarray(mel[0, :n_frames])
+        if wav is not None:
+            n_samples = max((n_frames - 1) * STD_RES_HOP_LENGTH, 0)
+            wav_np = trim_trailing_silence(np.asarray(wav[0, :n_samples]))
+        else:
+            wav_np = np.zeros((0,), np.float32)
+        elapsed = time.perf_counter() - t0
+        audio_sec = len(wav_np) / SAMPLE_RATE if len(wav_np) else (
+            n_frames * STD_RES_HOP_LENGTH / SAMPLE_RATE
+        )
+        rtf = elapsed / max(audio_sec, 1e-9)
+
+        return SynthesisResult(
+            wav=wav_np,
+            rtf=rtf,
+            mel=mel_np if debug else None,
+            durations=np.asarray(durations[0, : np.count_nonzero(x[0])])
+            if debug
+            else None,
+        )
+
+    def synthesise(
+        self,
+        text: str,
+        speaker: int = 0,
+        voice_mix: Sequence[tuple[int, float]] | None = None,
+        **kwargs,
+    ) -> SynthesisResult:
+        """Raw-text entry point; requires the eSpeak host frontend."""
+        from matcha_tpu.text.phonemizers import (
+            emphasize_intonation_marks,
+            multilingual_phonemizer,
+        )
+
+        primary = voice_mix[0][0] if voice_mix else speaker
+        language = voice_by_id(primary)["lang"]
+        text = emphasize_intonation_marks(text)
+        _, ids = multilingual_phonemizer(text, language)
+        return self.synthesise_ids(
+            ids, speaker=speaker, voice_mix=voice_mix, **kwargs
+        )
+
+    def warmup(self, n_timesteps: int = DEFAULT_NUM_STEPS, solver: str = DEFAULT_ODE_SOLVER):
+        """Compile the common bucket pairs ahead of serving."""
+        for tx in self.text_buckets[:3]:
+            ids = [24] * (tx // 2)
+            self.synthesise_ids(ids, n_timesteps=n_timesteps, solver=solver)
+
+
+def trim_trailing_silence(audio: np.ndarray, silence_threshold_db: float = -60.0) -> np.ndarray:
+    """Trim trailing silence using 10 ms RMS windows (host-side).
+
+    (reference: matcha/inference.py:268-287)
+    """
+    window = int(0.01 * SAMPLE_RATE)
+    if len(audio) < window:
+        return audio
+    thresh = 10.0 ** (silence_threshold_db / 20.0)
+    n_win = len(audio) // window
+    rms = np.sqrt(
+        np.mean(
+            np.square(audio[: n_win * window].reshape(n_win, window)), axis=1
+        )
+    )
+    silent = rms < thresh
+    trailing = 0
+    for i in range(n_win - 1, -1, -1):
+        if silent[i]:
+            trailing += 1
+        else:
+            break
+    if trailing == 0:
+        return audio
+    return audio[: -trailing * window]

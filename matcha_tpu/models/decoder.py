@@ -1,0 +1,271 @@
+"""CFM estimator: 1D U-Net over mel frames, conditioned on (mu, t).
+
+TPU-native redesign of the reference decoder
+(reference: matcha/models/components/decoder.py:202-427 and
+matcha/models/components/transformer.py:14-303):
+
+  input  [x ‖ mu]  (channel concat of noisy sample and encoder prior)
+  down:  per stage  ResnetBlock1D(+t) → n_blocks x TransformerBlock → stride-2 conv
+  mid:   num_mid_blocks x (ResnetBlock1D → blocks)
+  up:    skip-concat → ResnetBlock1D → blocks → conv-transpose x2
+  head:  Block1D → 1x1 conv
+
+Everything is time-major (B, T, C); masks are (B, T) floats carried per
+resolution (halved with ``mask[:, ::2]`` on downsample, exactly mirroring the
+reference's mask bookkeeping so padding never leaks through convolutions).
+The transformer block is pre-norm with a SnakeBeta feed-forward
+(x + (1/b)·sin²(a·x), log-scale learnable a/b — reference transformer.py:14-77).
+
+The whole module is one jit-able function of (x, mask, mu, t); the ODE loop
+in flow_matching.py scans over it inside the same compiled program.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from matcha_tpu.models.config import DecoderConfig
+
+
+def mish(x: jax.Array) -> jax.Array:
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class SinusoidalTimeEmbedding(nn.Module):
+    """t ∈ [0,1] → (B, dim) sinusoidal features, scale=1000.
+
+    (reference: decoder.py:15-29)
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t: jax.Array, scale: float = 1000.0) -> jax.Array:
+        half = self.dim // 2
+        freqs = jnp.exp(
+            jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1))
+        )
+        args = scale * t[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class TimestepMLP(nn.Module):
+    """Two-layer SiLU MLP lifting the sinusoidal embedding.
+
+    (reference: decoder.py:77-118)
+    """
+
+    time_embed_dim: int
+
+    @nn.compact
+    def __call__(self, emb: jax.Array) -> jax.Array:
+        h = nn.Dense(self.time_embed_dim, name="linear_1")(emb)
+        h = nn.silu(h)
+        return nn.Dense(self.time_embed_dim, name="linear_2")(h)
+
+
+class Block1D(nn.Module):
+    """Masked conv3 → GroupNorm(8) → Mish. (reference: decoder.py:32-45)"""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        h = nn.Conv(self.dim_out, (3,), padding="SAME")(x * mask[..., None])
+        h = nn.GroupNorm(num_groups=self.groups)(h)
+        return mish(h) * mask[..., None]
+
+
+class ResnetBlock1D(nn.Module):
+    """Two Block1Ds with an additive time embedding and a 1x1 residual.
+
+    (reference: decoder.py:48-64)
+    """
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array, t_emb: jax.Array) -> jax.Array:
+        h = Block1D(self.dim_out, self.groups, name="block1")(x, mask)
+        h = h + nn.Dense(self.dim_out, name="time_proj")(mish(t_emb))[:, None, :]
+        h = Block1D(self.dim_out, self.groups, name="block2")(h, mask)
+        res = nn.Conv(self.dim_out, (1,), name="res_conv")(x * mask[..., None])
+        return h + res
+
+
+class SnakeBetaFFN(nn.Module):
+    """Feed-forward with the SnakeBeta periodic activation.
+
+    proj → x + (1/exp(b))·sin²(x·exp(a)) → dropout → proj
+    (reference: transformer.py:14-121; mult=4, log-scale alpha/beta)
+    """
+
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner, name="proj_in")(x)
+        log_alpha = self.param("alpha", nn.initializers.zeros, (inner,))
+        log_beta = self.param("beta", nn.initializers.zeros, (inner,))
+        alpha, beta = jnp.exp(log_alpha), jnp.exp(log_beta)
+        h = h + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(h * alpha))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.dim, name="proj_out")(h)
+
+
+class DecoderTransformerBlock(nn.Module):
+    """Pre-norm block: LN → SDPA → LN → SnakeBeta FFN, residual both.
+
+    (reference: transformer.py:123-303, diffusers-style without AdaNorm —
+    the production config uses plain LayerNorm and self-attention only.)
+    """
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool = True):
+        b, t, _ = x.shape
+        inner = self.num_heads * self.head_dim
+
+        h = nn.LayerNorm(name="norm1")(x)
+        q = nn.Dense(inner, use_bias=False, name="to_q")(h)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(h)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(h)
+
+        def split(y):
+            return y.reshape(b, t, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(self.head_dim)
+        key_valid = mask[:, None, None, :] > 0
+        logits = jnp.where(key_valid, logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
+        x = x + nn.Dense(self.dim, name="to_out")(out)
+
+        h = nn.LayerNorm(name="norm3")(x)
+        x = x + SnakeBetaFFN(self.dim, dropout=self.dropout, name="ff")(
+            h, deterministic=deterministic
+        )
+        return x
+
+
+class Downsample1D(nn.Module):
+    """Stride-2 conv halving the time axis. (reference: decoder.py:67-73)"""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(self.dim, (3,), strides=(2,), padding=((1, 1),))(x)
+
+
+class Upsample1D(nn.Module):
+    """ConvTranspose(k=4, s=2, p=1) doubling the time axis.
+
+    (reference: decoder.py:121-160, use_conv_transpose=True path)
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.ConvTranspose(
+            self.dim, (4,), strides=(2,), padding="SAME", transpose_kernel=True
+        )(x)
+
+
+class Decoder(nn.Module):
+    """U-Net velocity estimator v(x, t | mu)."""
+
+    cfg: DecoderConfig
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, mask, mu, t, *, deterministic: bool = True):
+        """
+        Args:
+            x: (B, T, n_feats) current ODE state (noisy mel).
+            mask: (B, T) validity mask; T must be divisible by
+                2**num_downsamples (host-side bucketing guarantees this).
+            mu: (B, T, n_feats) encoder prior (conditioning).
+            t: (B,) or scalar ODE time in [0, 1].
+        Returns:
+            (B, T, n_feats) predicted velocity.
+        """
+        cfg = self.cfg
+        in_ch = x.shape[-1] + mu.shape[-1]
+        t = jnp.broadcast_to(jnp.asarray(t, x.dtype), (x.shape[0],))
+        t_emb = SinusoidalTimeEmbedding(in_ch, name="time_embeddings")(t)
+        t_emb = TimestepMLP(cfg.channels[0] * 4, name="time_mlp")(t_emb)
+
+        h = jnp.concatenate([x, mu], axis=-1)
+
+        def run_blocks(h, m, stage, n):
+            for bi in range(cfg.n_blocks):
+                h = DecoderTransformerBlock(
+                    dim=n,
+                    num_heads=cfg.num_heads,
+                    head_dim=cfg.attention_head_dim,
+                    dropout=cfg.dropout,
+                    name=f"{stage}_tblock{bi}",
+                )(h, m, deterministic=deterministic)
+            return h
+
+        skips = []
+        masks = [mask]
+        for i, ch in enumerate(cfg.channels):
+            m = masks[-1]
+            h = ResnetBlock1D(ch, name=f"down{i}_resnet")(h, m, t_emb)
+            h = run_blocks(h, m, f"down{i}", ch)
+            skips.append(h)
+            is_last = i == len(cfg.channels) - 1
+            if not is_last:
+                h = Downsample1D(ch, name=f"down{i}_downsample")(h * m[..., None])
+                masks.append(m[:, ::2])
+            else:
+                h = nn.Conv(ch, (3,), padding="SAME", name=f"down{i}_conv")(
+                    h * m[..., None]
+                )
+
+        m = masks[-1]
+        for i in range(cfg.num_mid_blocks):
+            h = ResnetBlock1D(cfg.channels[-1], name=f"mid{i}_resnet")(h, m, t_emb)
+            h = run_blocks(h, m, f"mid{i}", cfg.channels[-1])
+
+        up_channels = cfg.channels[::-1] + (cfg.channels[0],)
+        for i in range(len(up_channels) - 1):
+            out_ch = up_channels[i + 1]
+            m = masks.pop()
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            h = ResnetBlock1D(out_ch, name=f"up{i}_resnet")(h, m, t_emb)
+            h = run_blocks(h, m, f"up{i}", out_ch)
+            is_last = i == len(up_channels) - 2
+            if not is_last:
+                h = Upsample1D(out_ch, name=f"up{i}_upsample")(h * m[..., None])
+            else:
+                h = nn.Conv(out_ch, (3,), padding="SAME", name=f"up{i}_conv")(
+                    h * m[..., None]
+                )
+
+        h = Block1D(up_channels[-1], name="final_block")(h, mask)
+        out = nn.Conv(self.out_channels, (1,), name="final_proj")(
+            h * mask[..., None]
+        )
+        return out * mask[..., None]

@@ -1,0 +1,150 @@
+"""Optimal-transport conditional flow matching (OT-CFM).
+
+Training objective and ODE synthesis for the CFM decoder
+(reference: matcha/models/components/flow_matching.py):
+
+  training:   y_t = (1 - (1-σ)t)·x0 + t·x1,  target u = x1 - (1-σ)·x0,
+              masked MSE between v(y_t, t | mu) and u
+  synthesis:  integrate dx/dt = v(x, t | mu) from t=0 → 1 starting at
+              z = mu + ε (use_mu_prior) with a FIXED-SEED ε so repeated
+              synthesis is bit-reproducible for MCD comparisons
+              (reference: flow_matching.py:41-44).
+
+TPU-native solver design: instead of a framework ODE library (torchdiffeq in
+the reference), the fixed-grid solvers (euler / midpoint / rk4 / heun3) are
+written directly as `lax.scan` over the time grid, so the entire multi-step
+integration — 2·steps U-Net evaluations for midpoint — compiles into ONE XLA
+program with zero host round-trips.  This is the reference's torch.compile
+"3x" insight (README.md:167) taken to its limit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+VelocityFn = Callable[[jax.Array, jax.Array], jax.Array]  # (x, t) -> dx/dt
+# (x, mask, mu, t) -> velocity
+VelocityFn3 = Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]
+
+SOLVERS = ("euler", "midpoint", "rk4", "heun3")
+
+
+def _step_euler(f: VelocityFn, x, t, dt):
+    return x + dt * f(x, t)
+
+
+def _step_midpoint(f: VelocityFn, x, t, dt):
+    k1 = f(x, t)
+    return x + dt * f(x + 0.5 * dt * k1, t + 0.5 * dt)
+
+
+def _step_rk4(f: VelocityFn, x, t, dt):
+    k1 = f(x, t)
+    k2 = f(x + 0.5 * dt * k1, t + 0.5 * dt)
+    k3 = f(x + 0.5 * dt * k2, t + 0.5 * dt)
+    k4 = f(x + dt * k3, t + dt)
+    return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def _step_heun3(f: VelocityFn, x, t, dt):
+    k1 = f(x, t)
+    k2 = f(x + (dt / 3.0) * k1, t + dt / 3.0)
+    k3 = f(x + (2.0 * dt / 3.0) * k2, t + 2.0 * dt / 3.0)
+    return x + (dt / 4.0) * (k1 + 3.0 * k3)
+
+
+_STEPS = {
+    "euler": _step_euler,
+    "midpoint": _step_midpoint,
+    "rk4": _step_rk4,
+    "heun3": _step_heun3,
+}
+
+
+def odeint_fixed(
+    f: VelocityFn, x0: jax.Array, t_span: jax.Array, solver: str = "midpoint"
+) -> jax.Array:
+    """Integrate dx/dt = f(x, t) over the grid ``t_span`` (static length).
+
+    Matches torchdiffeq's fixed-grid solvers on the same grid
+    (reference: flow_matching.py:60-63) but runs as a single `lax.scan`.
+    Returns the final state only.
+    """
+    if solver not in _STEPS:
+        raise ValueError(f"Unknown solver {solver!r}; choose from {SOLVERS}")
+    step = _STEPS[solver]
+    ts, dts = t_span[:-1], t_span[1:] - t_span[:-1]
+
+    def body(x, t_dt):
+        t, dt = t_dt
+        return step(f, x, t, dt), None
+
+    x_final, _ = jax.lax.scan(body, x0, (ts, dts))
+    return x_final
+
+
+def cfm_loss(
+    estimator: VelocityFn3,
+    x1: jax.Array,
+    mask: jax.Array,
+    mu: jax.Array,
+    rng: jax.Array,
+    *,
+    sigma_min: float = 1e-4,
+    use_mu_prior: bool = True,
+) -> jax.Array:
+    """Masked OT-CFM loss. (reference: flow_matching.py:65-112)
+
+    Args:
+        estimator: callable (x, mask, mu, t) -> velocity, e.g. a bound
+            Decoder apply.
+        x1: (B, T, C) target (ground-truth) coarse mel.
+        mask: (B, T) validity mask.
+        mu: (B, T, C) conditioning prior (already stop-gradient'ed by the
+            caller — decoder gradients must not reach the encoder).
+        rng: PRNG key for (t, x0).
+    """
+    b = x1.shape[0]
+    rng_t, rng_x0 = jax.random.split(rng)
+    t = jax.random.uniform(rng_t, (b, 1, 1), dtype=x1.dtype)
+    noise = jax.random.normal(rng_x0, x1.shape, dtype=x1.dtype)
+    x0 = mu + noise if use_mu_prior else noise
+
+    y = (1.0 - (1.0 - sigma_min) * t) * x0 + t * x1
+    u = x1 - (1.0 - sigma_min) * x0
+
+    pred = estimator(y, mask, mu, t[:, 0, 0])
+    m = mask[..., None]
+    sq = jnp.square((pred - u) * m)
+    return jnp.sum(sq) / (jnp.sum(m) * x1.shape[-1])
+
+
+def cfm_synthesise(
+    estimator: VelocityFn3,
+    mu: jax.Array,
+    mask: jax.Array,
+    n_timesteps: int,
+    *,
+    solver: str = "midpoint",
+    use_mu_prior: bool = True,
+    noise_seed: int = 42,
+) -> jax.Array:
+    """ODE synthesis from the encoder prior. (reference: flow_matching.py:26-63)
+
+    The noise seed is fixed by default so repeated synthesis of the same text
+    produces identical audio (required for stable MCD measurement).
+    """
+    noise = jax.random.normal(
+        jax.random.PRNGKey(noise_seed), mu.shape, dtype=mu.dtype
+    )
+    z = mu + noise if use_mu_prior else noise
+    z = z * mask[..., None]
+    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1, dtype=mu.dtype)
+
+    def f(x, t):
+        return estimator(x, mask, mu, t)
+
+    return odeint_fixed(f, z, t_span, solver=solver)

@@ -1,0 +1,141 @@
+"""Data-pipeline tests with a synthetic corpus fixture.
+
+Ports the reference's 14 sampler invariants (tests/test_dynamic_batch_sampler.py)
+to the bucketed design, replacing its hard-coded local corpus path with a
+hermetic generated fixture (SURVEY.md §4 calls this out explicitly).
+"""
+
+import numpy as np
+import pytest
+
+from matcha_tpu.data.collate import collate, epoch_batches
+from matcha_tpu.data.dataset import TextMelDataset
+from matcha_tpu.data.sampler import BucketedBatchSampler
+
+N_FEATS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    mel_dir = root / "mels"
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(40):
+        rel = f"spk{i % 3}/utt{i:03d}"
+        frames = int(rng.integers(20, 200))
+        (mel_dir / f"spk{i % 3}").mkdir(parents=True, exist_ok=True)
+        # channel-major on disk, like the reference cache
+        np.save(mel_dir / f"{rel}.npy", rng.standard_normal((N_FEATS, frames)).astype(np.float32))
+        np.save(
+            mel_dir / f"{rel}.fine.npy",
+            rng.standard_normal((N_FEATS, 2 * frames)).astype(np.float32),
+        )
+        ids = " ".join(str(int(v)) for v in rng.integers(0, 600, rng.integers(5, 30)))
+        rows.append(f"{rel}|{i % 3}|en-us|hello world|{ids}")
+    filelist = root / "train.csv"
+    filelist.write_text("\n".join(rows))
+    return filelist, mel_dir
+
+
+class TestDataset:
+    def test_len_and_item(self, corpus):
+        filelist, mel_dir = corpus
+        ds = TextMelDataset(filelist, mel_dir)
+        assert len(ds) == 40
+        item = ds[0]
+        assert item["y"].shape[1] == N_FEATS  # time-major after load
+        assert item["y_fine"].shape[0] == 2 * item["y"].shape[0]
+        assert item["x"].dtype == np.int32
+
+    def test_header_length_matches_data(self, corpus):
+        filelist, mel_dir = corpus
+        ds = TextMelDataset(filelist, mel_dir)
+        for i in (0, 7, 13):
+            assert ds.mel_length(i) == ds[i]["y"].shape[0]
+
+    def test_filter_speaker(self, corpus):
+        filelist, mel_dir = corpus
+        ds = TextMelDataset(filelist, mel_dir)
+        sub = ds.filter_speaker(1)
+        assert len(sub) > 0
+        assert all(int(r[1]) == 1 for r in sub.rows)
+
+
+class TestSampler:
+    LENGTHS = None
+
+    def _sampler(self, corpus, **kw):
+        filelist, mel_dir = corpus
+        ds = TextMelDataset(filelist, mel_dir)
+        lengths = [ds.mel_length(i) for i in range(len(ds))]
+        kw.setdefault("max_frames_per_batch", 2048)
+        kw.setdefault("len_bucket", 32)
+        return ds, BucketedBatchSampler(lengths, **kw)
+
+    def test_coverage_no_missing(self, corpus):
+        ds, sampler = self._sampler(corpus, stable_batch_count=False)
+        plans = sampler.create_batches(0)
+        seen = set()
+        for p in plans:
+            seen.update(p.indices)
+        assert seen == set(range(len(ds)))
+
+    def test_frame_budget_respected(self, corpus):
+        ds, sampler = self._sampler(corpus)
+        for p in sampler.create_batches(0):
+            assert p.mel_len * p.batch_size <= 2048
+            assert len(p.indices) == p.batch_size
+
+    def test_bucketed_shapes_only(self, corpus):
+        ds, sampler = self._sampler(corpus)
+        shape_set = sampler.shape_set()
+        for epoch in range(3):
+            for p in sampler.create_batches(epoch):
+                assert p.mel_len % 32 == 0
+                assert (p.batch_size, p.mel_len) in shape_set
+
+    def test_stable_batch_count_across_epochs(self, corpus):
+        ds, sampler = self._sampler(corpus)
+        counts = {len(sampler.create_batches(e)) for e in range(5)}
+        assert len(counts) == 1
+
+    def test_deterministic_given_seed(self, corpus):
+        ds, s1 = self._sampler(corpus, seed=7)
+        _, s2 = self._sampler(corpus, seed=7)
+        p1 = [(p.mel_len, tuple(p.indices)) for p in s1.create_batches(2)]
+        p2 = [(p.mel_len, tuple(p.indices)) for p in s2.create_batches(2)]
+        assert p1 == p2
+
+    def test_jitter_varies_epochs(self, corpus):
+        ds, sampler = self._sampler(corpus)
+        a = [tuple(p.indices) for p in sampler.create_batches(0)]
+        b = [tuple(p.indices) for p in sampler.create_batches(1)]
+        assert a != b
+
+    def test_padded_lengths_fit(self, corpus):
+        ds, sampler = self._sampler(corpus)
+        for p in sampler.create_batches(0):
+            for i in p.indices:
+                assert ds.mel_length(i) <= p.mel_len
+
+
+class TestCollate:
+    def test_batch_shapes(self, corpus):
+        ds, sampler = TestSampler()._sampler(corpus)
+        plan = sampler.create_batches(0)[0]
+        batch = collate(ds, plan, text_bucket=16)
+        b, ty = plan.batch_size, plan.mel_len
+        assert batch.y.shape == (b, ty, N_FEATS)
+        assert batch.y_fine.shape == (b, 2 * ty, N_FEATS)
+        assert batch.x.shape[0] == b and batch.x.shape[1] % 16 == 0
+        assert (batch.y_lengths <= ty).all()
+        assert (batch.y_fine_lengths <= 2 * ty).all()
+        # padding regions are zero
+        k = int(np.argmin(batch.y_lengths))
+        assert np.all(batch.y[k, batch.y_lengths[k]:] == 0)
+
+    def test_epoch_iterator(self, corpus):
+        ds, sampler = TestSampler()._sampler(corpus)
+        batches = list(epoch_batches(ds, sampler, epoch=0, text_bucket=16))
+        assert len(batches) == len(sampler.create_batches(0))

@@ -1,0 +1,157 @@
+"""Training-step tests: single-device + 8-device data-parallel mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matcha_tpu.models.config import tiny_config
+from matcha_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from matcha_tpu.train.optim import OptimizerConfig, build_optimizer, decay_mask
+from matcha_tpu.train.step import Batch, init_train_state, make_train_step
+
+CFG = tiny_config()
+B, TX, TY = 8, 10, 12
+
+
+def make_batch(seed=0) -> Batch:
+    rng = np.random.default_rng(seed)
+    return Batch(
+        x=jnp.asarray(rng.integers(0, 600, (B, TX)), jnp.int32),
+        x_lengths=jnp.asarray(rng.integers(4, TX + 1, (B,)), jnp.int32),
+        y=jnp.asarray(rng.standard_normal((B, TY, CFG.n_feats)), jnp.float32),
+        y_lengths=jnp.asarray(rng.integers(8, TY + 1, (B,)), jnp.int32),
+        y_fine=jnp.asarray(
+            rng.standard_normal((B, 2 * TY, CFG.n_feats)), jnp.float32
+        ),
+        y_fine_lengths=jnp.asarray(rng.integers(16, 2 * TY + 1, (B,)), jnp.int32),
+        spks=jnp.asarray(rng.integers(0, CFG.n_spks, (B,)), jnp.int32),
+    )
+
+
+class TestDecayMask:
+    def test_kernels_decay_embeddings_do_not(self):
+        from matcha_tpu.models.matcha import init_params
+
+        params = init_params(CFG, jax.random.PRNGKey(0))
+        mask = decay_mask(params)
+        assert mask["speaker_embeddings_enc"]["embedding"] is False
+        enc = mask["encoder"]["emb"]["embedding"]
+        assert enc is False
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        kernels = [v for k, v in flat if k[-1].key == "kernel"]
+        non_kernels = [v for k, v in flat if k[-1].key != "kernel"]
+        assert all(kernels) and len(kernels) > 10
+        assert not any(non_kernels)
+
+
+class TestTrainStepSingleDevice:
+    def test_loss_decreases_params_change(self):
+        tx = build_optimizer(OptimizerConfig(lr=1e-3))
+        state = init_train_state(CFG, tx, jax.random.PRNGKey(0))
+        train_step, eval_step = make_train_step(CFG, tx)
+        batch = make_batch()
+        rng = jax.random.PRNGKey(42)
+
+        p0 = jax.tree.map(np.asarray, state.params)
+        metrics = None
+        for _ in range(3):
+            state, metrics = train_step(state, batch, rng)
+        assert np.isfinite(np.asarray(metrics["loss"]))
+        assert int(state.step) == 3
+        changed = jax.tree_util.tree_reduce(
+            lambda acc, pair: acc or pair,
+            jax.tree.map(
+                lambda a, b: bool(np.any(np.asarray(a) != b)), state.params, p0
+            ),
+            False,
+        )
+        assert changed
+
+        ev = eval_step(state.params, batch, rng)
+        assert np.isfinite(np.asarray(ev["loss"]))
+
+
+class TestTrainStepMesh:
+    def test_eight_device_dp(self):
+        assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+        mesh = make_mesh(jax.devices()[:8])
+        tx = build_optimizer(OptimizerConfig(lr=1e-3))
+        state = init_train_state(CFG, tx, jax.random.PRNGKey(0))
+        state = jax.device_put(state, None) if False else state
+        with mesh:
+            state = replicate(mesh, state)
+            train_step, _ = make_train_step(CFG, tx, mesh=mesh)
+            batch = shard_batch(mesh, make_batch())
+            state2, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(metrics["loss"]))
+        assert int(state2.step) == 1
+
+    def test_dp_matches_single_device(self):
+        """Same batch, same seed → DP-8 loss == single-device loss."""
+        mesh = make_mesh(jax.devices()[:8])
+        tx = build_optimizer(OptimizerConfig(lr=1e-3))
+        state_s = init_train_state(CFG, tx, jax.random.PRNGKey(0))
+        batch = make_batch(3)
+        rng = jax.random.PRNGKey(9)
+
+        step_s, _ = make_train_step(CFG, tx)
+        _, m_single = step_s(state_s, batch, rng)
+
+        state_m = init_train_state(CFG, tx, jax.random.PRNGKey(0))
+        with mesh:
+            state_m = replicate(mesh, state_m)
+            step_m, _ = make_train_step(CFG, tx, mesh=mesh)
+            _, m_mesh = step_m(state_m, shard_batch(mesh, batch), rng)
+
+        np.testing.assert_allclose(
+            np.asarray(m_single["loss"]), np.asarray(m_mesh["loss"]), rtol=2e-5
+        )
+
+
+class TestCheckpointSurgery:
+    def test_expand_speaker_tables(self):
+        from matcha_tpu.train.checkpoint import expand_speaker_tables
+
+        tx = build_optimizer(OptimizerConfig())
+        state = init_train_state(CFG, tx, jax.random.PRNGKey(0))
+        tree = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": 0,
+        }
+        tree2, cfg2 = expand_speaker_tables(tree, CFG, CFG.n_spks + 3)
+        assert cfg2.n_spks == CFG.n_spks + 3
+        emb = tree2["params"]["speaker_embeddings_enc"]["embedding"]
+        assert emb.shape[0] == CFG.n_spks + 3
+        np.testing.assert_array_equal(emb[CFG.n_spks:], 0.0)
+        # old rows preserved
+        np.testing.assert_array_equal(
+            emb[: CFG.n_spks],
+            np.asarray(state.params["speaker_embeddings_enc"]["embedding"]),
+        )
+
+    def test_average_checkpoints(self):
+        from matcha_tpu.train.checkpoint import average_checkpoints
+
+        t1 = {"params": {"w": np.ones((2, 2), np.float32)}}
+        t2 = {"params": {"w": np.full((2, 2), 3.0, np.float32)}}
+        avg = average_checkpoints([t1, t2])
+        np.testing.assert_array_equal(avg["params"]["w"], np.full((2, 2), 2.0))
+
+    def test_transplant_speaker(self):
+        from matcha_tpu.train.checkpoint import transplant_speaker
+
+        rng = np.random.default_rng(0)
+        mk = lambda: {
+            "params": {
+                "speaker_embeddings_enc": {"embedding": rng.standard_normal((4, 8))},
+                "speaker_embeddings_dur": {"embedding": rng.standard_normal((4, 8))},
+            }
+        }
+        dst, src = mk(), mk()
+        src_row = np.asarray(src["params"]["speaker_embeddings_enc"]["embedding"][2])
+        out = transplant_speaker(dst, src, dst_id=1, src_id=2)
+        np.testing.assert_array_equal(
+            out["params"]["speaker_embeddings_enc"]["embedding"][1], src_row
+        )
