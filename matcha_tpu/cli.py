@@ -1,0 +1,95 @@
+"""Synthesis CLI: ``python -m matcha_tpu.cli --text ... --spk 0,1``.
+
+Same surface as the reference CLI (reference: matcha/cli.py:27-159): writes
+``speaker_NNN.wav`` (+ ``.mp3``), prints RTF per synthesis, debug mode also
+dumps per-phoneme durations to TSV.
+"""
+
+from __future__ import annotations
+
+import argparse
+import struct
+import sys
+import wave
+from pathlib import Path
+
+import numpy as np
+
+from matcha_tpu.inference import (
+    DEFAULT_NUM_STEPS,
+    DEFAULT_ODE_SOLVER,
+    SAMPLE_RATE,
+    MatchaSynthesizer,
+    voice_by_id,
+)
+
+
+def write_wav(path: Path, wav: np.ndarray, sample_rate: int = SAMPLE_RATE):
+    pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())
+
+
+def load_synthesizer(checkpoint_path: str, vocoder_path: str | None) -> MatchaSynthesizer:
+    from matcha_tpu.train.checkpoint import load_checkpoint
+    from matcha_tpu.vocoder.vocos import VocosConfig
+
+    tree, cfg = load_checkpoint(checkpoint_path)
+    vocos_params = None
+    if vocoder_path:
+        import pickle
+
+        with open(vocoder_path, "rb") as f:
+            vocos_params = pickle.load(f)
+    return MatchaSynthesizer(cfg, tree["params"], vocos_params, VocosConfig())
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="MatchaTTS-24k TPU synthesis")
+    parser.add_argument("--text", required=True)
+    parser.add_argument("--checkpoint_path", required=True)
+    parser.add_argument("--vocoder_path", default=None, help="converted Vocos params pickle")
+    parser.add_argument("--spk", default="0", help="comma-separated speaker ids")
+    parser.add_argument("--steps", type=int, default=DEFAULT_NUM_STEPS)
+    parser.add_argument("--solver", default=DEFAULT_ODE_SOLVER)
+    parser.add_argument("--length_scale", type=float, default=1.0)
+    parser.add_argument("--output_dir", default=".")
+    parser.add_argument("--debug", action="store_true")
+    args = parser.parse_args(argv)
+
+    synth = load_synthesizer(args.checkpoint_path, args.vocoder_path)
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    for spk_str in args.spk.split(","):
+        spk = int(spk_str)
+        result = synth.synthesise(
+            args.text,
+            speaker=spk,
+            n_timesteps=args.steps,
+            solver=args.solver,
+            length_scale=args.length_scale,
+            debug=args.debug,
+        )
+        name = f"speaker_{spk:03d}"
+        if len(result.wav):
+            write_wav(out_dir / f"{name}.wav", result.wav)
+            try:
+                from matcha_tpu.utils.mp3_converter import waveform_to_mp3
+
+                (out_dir / f"{name}.mp3").write_bytes(waveform_to_mp3(result.wav))
+            except Exception as exc:  # mp3 is best-effort
+                print(f"[!] mp3 encode failed: {exc}", file=sys.stderr)
+        if args.debug and result.durations is not None:
+            with open(out_dir / f"{name}_durations.tsv", "w") as f:
+                for i, d in enumerate(result.durations):
+                    f.write(f"{i}\t{float(d):.2f}\n")
+        voice = voice_by_id(spk)["name"] if spk < 15 else str(spk)
+        print(f"[+] {name} ({voice}): {len(result.wav)/SAMPLE_RATE:.2f}s  RTF={result.rtf:.4f}")
+
+
+if __name__ == "__main__":
+    main()

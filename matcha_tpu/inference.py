@@ -283,6 +283,78 @@ class MatchaSynthesizer:
             else None,
         )
 
+    def synthesise_batch(
+        self,
+        id_lists: Sequence[Sequence[int]],
+        speakers: Sequence[int],
+        n_timesteps: int = DEFAULT_NUM_STEPS,
+        solver: str = DEFAULT_ODE_SOLVER,
+        length_scales: Sequence[float] | None = None,
+    ) -> list[SynthesisResult]:
+        """Batched synthesis: the serving-side throughput lever.
+
+        The reference server is strictly serial (SURVEY.md §2.6); here
+        concurrent requests share one padded TPU program: all utterances are
+        padded to the common text/mel buckets and decoded in a single call.
+        """
+        t0 = time.perf_counter()
+        b = len(id_lists)
+        assert b == len(speakers)
+        length_scales = length_scales or [1.0] * b
+
+        tx = pick_bucket(max(len(ids) for ids in id_lists), self.text_buckets)
+        x = np.zeros((b, tx), np.int32)
+        for k, ids in enumerate(id_lists):
+            x[k, : len(ids)] = ids
+        x_lengths = jnp.asarray([len(ids) for ids in id_lists], jnp.int32)
+
+        enc_rows, dur_rows, scales = [], [], []
+        for k, spk in enumerate(speakers):
+            e, d = self.speaker_embedding([(spk, 1.0)])
+            enc_rows.append(e[0])
+            dur_rows.append(d[0])
+            try:
+                sc = voice_by_id(spk)["scale_correction"]
+            except KeyError:
+                sc = 1.0
+            scales.append(sc * length_scales[k])
+        spk_enc = jnp.stack(enc_rows)
+        spk_dur = jnp.stack(dur_rows)
+        # per-sample duration scale: broadcast over tokens inside _encode
+        scale = jnp.asarray(scales, jnp.float32)[:, None]
+
+        mu_x, durations, x_mask = self._encode_jit(
+            self.params, jnp.asarray(x), x_lengths, spk_enc, spk_dur, scale
+        )
+        totals = np.asarray(jnp.sum(durations, axis=1)).astype(int)
+        totals = np.maximum(totals, 2)
+        y_fine_len = pick_bucket(int(totals.max()), self.mel_fine_buckets)
+        mel, wav = self._decode_jit(
+            self.params,
+            self.vocos_params,
+            mu_x,
+            durations,
+            x_mask,
+            jnp.asarray(totals, jnp.int32),
+            y_fine_len=y_fine_len,
+            n_timesteps=n_timesteps,
+            solver=solver,
+        )
+        elapsed = time.perf_counter() - t0
+
+        results = []
+        wav_np = np.asarray(wav) if wav is not None else None
+        for k in range(b):
+            frames = (int(totals[k]) + 1) // 2
+            if wav_np is not None:
+                n_samples = max((frames - 1) * STD_RES_HOP_LENGTH, 0)
+                w = trim_trailing_silence(wav_np[k, :n_samples])
+            else:
+                w = np.zeros((0,), np.float32)
+            audio_sec = max(len(w) / SAMPLE_RATE, 1e-9)
+            results.append(SynthesisResult(wav=w, rtf=elapsed / (b * audio_sec)))
+        return results
+
     def synthesise(
         self,
         text: str,

@@ -175,6 +175,14 @@ class MatchaTTS(nn.Module):
     # inference (split so the host can pick the mel bucket in between)
     # ------------------------------------------------------------------
 
+    def encoder_forward(self, x, x_mask, spk_enc, spk_dur):
+        """Raw encoder pass: (mu_x, logw) without the duration transform.
+
+        Used by the StyleEncoder training loop, which penalizes log-space
+        duration differences directly.
+        """
+        return self.encoder(x, x_mask, spk_enc, spk_dur, deterministic=True)
+
     def encode(self, x, x_mask, spk_enc, spk_dur):
         """Text → (mu_x, durations).  First stage of synthesis.
 

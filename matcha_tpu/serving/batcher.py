@@ -1,0 +1,105 @@
+"""Micro-batching request queue for serving.
+
+The reference server processes requests strictly serially
+(reference: matcha/server.py:93-127 — "synchronous single-request
+inference").  On TPU, batched decodes are nearly free up to the HBM limit,
+so this batcher is the serving-side throughput lever: requests that arrive
+within ``max_wait_ms`` of each other (same solver/steps) are padded into one
+bucketed TPU program call.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+
+@dataclass
+class _Pending:
+    ids: list[int]
+    speaker: int
+    length_scale: float
+    n_timesteps: int
+    solver: str
+    future: Future = field(default_factory=Future)
+
+    def group_key(self):
+        return (self.n_timesteps, self.solver)
+
+
+class RequestBatcher:
+    def __init__(
+        self,
+        synthesizer,
+        max_batch: int = 8,
+        max_wait_ms: float = 15.0,
+    ):
+        self.synth = synthesizer
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.q: queue.Queue[_Pending] = queue.Queue()
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(
+        self,
+        ids: list[int],
+        speaker: int,
+        length_scale: float = 1.0,
+        n_timesteps: int = 4,
+        solver: str = "midpoint",
+    ) -> Future:
+        item = _Pending(ids, speaker, length_scale, n_timesteps, solver)
+        self.q.put(item)
+        return item.future
+
+    def shutdown(self):
+        self._stop.set()
+        self.thread.join(timeout=2)
+
+    # ------------------------------------------------------------------
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            deadline_key = first.group_key()
+            # gather more compatible requests within the wait window
+            import time as _time
+
+            deadline = _time.monotonic() + self.max_wait
+            while len(group) < self.max_batch:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt.group_key() == deadline_key:
+                    group.append(nxt)
+                else:
+                    self._run([nxt])  # incompatible: run alone, keep order simple
+            self._run(group)
+
+    def _run(self, group: list[_Pending]):
+        try:
+            results = self.synth.synthesise_batch(
+                [g.ids for g in group],
+                [g.speaker for g in group],
+                n_timesteps=group[0].n_timesteps,
+                solver=group[0].solver,
+                length_scales=[g.length_scale for g in group],
+            )
+            for g, r in zip(group, results):
+                g.future.set_result(r)
+        except Exception as exc:  # pragma: no cover
+            for g in group:
+                if not g.future.done():
+                    g.future.set_exception(exc)

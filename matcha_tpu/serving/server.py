@@ -1,0 +1,203 @@
+"""HTTP TTS server: OpenAI-style speech endpoint on TPU.
+
+Endpoint surface mirrors the reference FastAPI server
+(reference: matcha/server.py):
+
+  POST /v1/audio/speech   (+ aliases /audio/speech, /v1/tts, /tts)
+      {"input": str, "voice": "2" | "2(70)+6(30)", "response_format":
+       "mp3"|"wav"|"pcm", "speed": float, "steps": int, "solver": str}
+  GET  /health            503 until the model is warm, then 200
+
+Config via env vars: CHECKPOINT_PATH, VOCODER_PATH, MAX_TEXT_LENGTH (1000),
+PORT.  Differences from the reference: concurrent requests are micro-batched
+into shared TPU programs (serving/batcher.py) instead of being serialized,
+and warmup pre-compiles the bucket ladder instead of 3 ad-hoc syntheses.
+
+Implemented on stdlib http.server (threaded) so it runs with zero extra
+dependencies; the handler core is framework-agnostic.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import struct
+import threading
+import time
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+SAMPLE_RATE = 24000
+MAX_TEXT_LENGTH = int(os.environ.get("MAX_TEXT_LENGTH", "1000"))
+
+_VOICE_MIX_RE = re.compile(r"^\s*(\d+)\s*\((\d+)\)\s*$")
+
+
+def parse_voice(voice: str) -> list[tuple[int, float]]:
+    """'2' → [(2, 1.0)]; '2(70)+6(30)' → [(2, .7), (6, .3)] (normalized).
+
+    (reference: matcha/server.py:71-76)
+    """
+    voice = str(voice).strip()
+    if "+" not in voice and "(" not in voice:
+        return [(int(voice), 1.0)]
+    parts = []
+    for term in voice.split("+"):
+        m = _VOICE_MIX_RE.match(term)
+        if not m:
+            raise ValueError(f"Bad voice spec {voice!r}")
+        parts.append((int(m.group(1)), float(m.group(2))))
+    total = sum(w for _, w in parts)
+    if total <= 0:
+        raise ValueError(f"Bad voice weights in {voice!r}")
+    return [(i, w / total) for i, w in parts]
+
+
+def wav_bytes(wav: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes((np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+class TTSService:
+    """Framework-agnostic core shared by HTTP handlers and tests."""
+
+    def __init__(self, synthesizer, use_batcher: bool = True):
+        self.synth = synthesizer
+        self.ready = False
+        self.batcher = None
+        if use_batcher:
+            from matcha_tpu.serving.batcher import RequestBatcher
+
+            self.batcher = RequestBatcher(synthesizer)
+
+    def warmup(self):
+        self.synth.warmup()
+        self.ready = True
+
+    def speak(self, body: dict) -> tuple[bytes, str]:
+        text = body.get("input", "")
+        if not text:
+            raise ValueError("empty input")
+        if len(text) > MAX_TEXT_LENGTH:
+            raise ValueError(f"input exceeds {MAX_TEXT_LENGTH} characters")
+        voice_mix = parse_voice(body.get("voice", "0"))
+        speed = float(body.get("speed", 1.0))
+        length_scale = float(np.clip(1.0 / max(speed, 1e-3), 0.1, 2.0))
+        steps = int(body.get("steps", 4))
+        solver = body.get("solver", "midpoint")
+        fmt = body.get("response_format", "mp3")
+
+        from matcha_tpu.inference import voice_by_id
+        from matcha_tpu.text.phonemizers import (
+            emphasize_intonation_marks,
+            multilingual_phonemizer,
+        )
+
+        language = voice_by_id(voice_mix[0][0])["lang"]
+        _, ids = multilingual_phonemizer(
+            emphasize_intonation_marks(text), language
+        )
+
+        t0 = time.perf_counter()
+        if self.batcher is not None and len(voice_mix) == 1:
+            result = self.batcher.submit(
+                ids,
+                voice_mix[0][0],
+                length_scale=length_scale,
+                n_timesteps=steps,
+                solver=solver,
+            ).result(timeout=120)
+        else:
+            result = self.synth.synthesise_ids(
+                ids,
+                voice_mix=voice_mix,
+                n_timesteps=steps,
+                solver=solver,
+                length_scale=length_scale,
+            )
+        elapsed = time.perf_counter() - t0
+        audio_sec = len(result.wav) / SAMPLE_RATE
+        print(f"synthesis: {elapsed*1000:.0f}ms for {audio_sec:.2f}s (RTF {elapsed/max(audio_sec,1e-9):.3f})")
+
+        if fmt == "wav":
+            return wav_bytes(result.wav), "audio/wav"
+        if fmt == "pcm":
+            return (np.clip(result.wav, -1, 1) * 32767).astype("<i2").tobytes(), (
+                "audio/pcm"
+            )
+        from matcha_tpu.utils.mp3_converter import waveform_to_mp3
+
+        return waveform_to_mp3(result.wav), "audio/mpeg"
+
+
+SPEECH_PATHS = {"/v1/audio/speech", "/audio/speech", "/v1/tts", "/tts"}
+
+
+def make_handler(service: TTSService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quieter default logging
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str = "application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                if service.ready:
+                    self._send(200, b'{"status":"ok"}')
+                else:
+                    self._send(503, b'{"status":"loading"}')
+            else:
+                self._send(404, b'{"error":"not found"}')
+
+        def do_POST(self):
+            if self.path not in SPEECH_PATHS:
+                self._send(404, b'{"error":"not found"}')
+                return
+            if not service.ready:
+                self._send(503, b'{"error":"model loading"}')
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                audio, ctype = service.speak(body)
+                self._send(200, audio, ctype)
+            except ValueError as exc:
+                self._send(400, json.dumps({"error": str(exc)}).encode())
+            except Exception as exc:  # pragma: no cover
+                self._send(500, json.dumps({"error": str(exc)}).encode())
+
+    return Handler
+
+
+def main():
+    ckpt = os.environ.get("CHECKPOINT_PATH")
+    if not ckpt:
+        raise SystemExit("Set CHECKPOINT_PATH to a checkpoint directory")
+    from matcha_tpu.cli import load_synthesizer
+
+    synth = load_synthesizer(ckpt, os.environ.get("VOCODER_PATH"))
+    service = TTSService(synth)
+
+    port = int(os.environ.get("PORT", "8000"))
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
+    threading.Thread(target=service.warmup, daemon=True).start()
+    print(f"serving on :{port} (warming up)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Training entry point: ``python -m matcha_tpu.train [overrides...]``.
+
+Config surface mirrors the reference Hydra CLI (reference: matcha/train.py):
+
+    python -m matcha_tpu.train trainer.max_epochs=100 experiment=v19
+    python -m matcha_tpu.train ckpt_path=logs/.../epoch_00004
+
+using the light YAML composer (configs/train.yaml + configs/experiment/*).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from pathlib import Path
+
+from matcha_tpu.data.dataset import TextMelDataset
+from matcha_tpu.models.config import (
+    DataStatistics,
+    MatchaConfig,
+)
+from matcha_tpu.train.optim import OptimizerConfig
+from matcha_tpu.train.trainer import Trainer, TrainerConfig
+from matcha_tpu.utils.configs import compose
+
+
+def build_model_config(cfg: dict) -> MatchaConfig:
+    m = cfg.get("model", {})
+    stats = cfg.get("data", {}).get("data_statistics", {})
+    base = MatchaConfig()
+    return dataclasses.replace(
+        base,
+        n_spks=int(m.get("n_spks", base.n_spks)),
+        n_feats=int(m.get("n_feats", base.n_feats)),
+        spk_emb_dim=int(m.get("spk_emb_dim", base.spk_emb_dim)),
+        prior_loss=bool(m.get("prior_loss", base.prior_loss)),
+        prior_loss_threshold=float(
+            m.get("prior_loss_threshold", base.prior_loss_threshold)
+        ),
+        duration_loss_threshold=float(
+            m.get("duration_loss_threshold", base.duration_loss_threshold)
+        ),
+        data_statistics=DataStatistics(
+            mel_mean=float(stats.get("mel_mean", -4.684777)),
+            mel_std=float(stats.get("mel_std", 6.512275)),
+        ),
+    )
+
+
+def build_trainer(cfg: dict, trainable_mask=None) -> Trainer:
+    data = cfg["data"]
+    tr = cfg.get("trainer", {})
+    opt = cfg.get("optimizer", {})
+
+    train_ds = TextMelDataset(data["train_filelist_path"], data["mel_dir"])
+    valid_path = data.get("valid_filelist_path")
+    valid_ds = (
+        TextMelDataset(valid_path, data["mel_dir"])
+        if valid_path and Path(valid_path).exists()
+        else None
+    )
+
+    return Trainer(
+        model_cfg=build_model_config(cfg),
+        opt_cfg=OptimizerConfig(
+            lr=float(opt.get("lr", 5e-5)),
+            weight_decay=float(opt.get("weight_decay", 1e-4)),
+            b1=float(opt.get("b1", 0.9)),
+            b2=float(opt.get("b2", 0.99)),
+            eps=float(opt.get("eps", 1e-8)),
+            grad_clip=float(opt.get("grad_clip", 4.0)),
+        ),
+        trainer_cfg=TrainerConfig(
+            output_dir=cfg.get("paths", {}).get("output_dir", "logs/train/run"),
+            max_epochs=int(tr.get("max_epochs", -1)),
+            check_val_every_n_epoch=int(tr.get("check_val_every_n_epoch", 5)),
+            checkpoint_every_n_epochs=int(tr.get("checkpoint_every_n_epochs", 5)),
+            keep_last_checkpoints=int(tr.get("keep_last_checkpoints", 10)),
+            log_every_n_steps=int(tr.get("log_every_n_steps", 10)),
+            seed=int(cfg.get("seed", 1234)),
+        ),
+        train_dataset=train_ds,
+        valid_dataset=valid_ds,
+        max_frames_per_batch=int(data.get("max_frames_per_batch", 32000)),
+        len_bucket=int(data.get("len_bucket", 32)),
+        text_bucket=int(data.get("text_bucket", 32)),
+        trainable_mask=trainable_mask,
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train MatchaTTS-24k on TPU")
+    parser.add_argument(
+        "--config",
+        default=str(Path(__file__).resolve().parent.parent / "configs" / "train.yaml"),
+    )
+    parser.add_argument(
+        "overrides", nargs="*", help="dotted overrides, e.g. optimizer.lr=1e-4"
+    )
+    args = parser.parse_args(argv)
+
+    cfg = compose(args.config, args.overrides)
+    trainer = build_trainer(cfg)
+    trainer.fit(resume_from=cfg.get("ckpt_path"))
+
+
+if __name__ == "__main__":
+    main()

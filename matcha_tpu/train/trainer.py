@@ -1,0 +1,240 @@
+"""Training loop: epochs over bucketed batches, validation, checkpoints.
+
+Replaces the reference's Lightning Trainer + BaseLightningClass
+(reference: matcha/train.py, matcha/models/baselightningmodule.py) with a
+plain loop around the jitted DP train step:
+
+  * sampler re-seeded per epoch (fresh jittered packing, stable batch count)
+  * validation every N epochs with the same loss pipeline
+  * checkpoints every N epochs, keep-last-K, with full optimizer state
+  * metrics to TensorBoard (if available) + JSONL (always)
+  * duration/prior abs-error quantile diagnostics at batch 0 of each epoch,
+    used to tune the Huber thresholds (reference: matcha_tts.py:166-182)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from matcha_tpu.data.collate import epoch_batches
+from matcha_tpu.data.dataset import TextMelDataset
+from matcha_tpu.data.sampler import BucketedBatchSampler
+from matcha_tpu.models.config import MatchaConfig
+from matcha_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from matcha_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from matcha_tpu.train.optim import OptimizerConfig, build_optimizer
+from matcha_tpu.train.step import TrainState, init_train_state, make_train_step
+
+
+@dataclass
+class TrainerConfig:
+    output_dir: str = "logs/train/run"
+    max_epochs: int = -1
+    check_val_every_n_epoch: int = 5
+    checkpoint_every_n_epochs: int = 5
+    keep_last_checkpoints: int = 10
+    log_every_n_steps: int = 10
+    seed: int = 1234
+    use_mesh: bool = True
+
+
+class MetricLogger:
+    """TensorBoard (optional) + JSONL metrics sink."""
+
+    def __init__(self, out_dir: Path):
+        out_dir.mkdir(parents=True, exist_ok=True)
+        self.jsonl = open(out_dir / "metrics.jsonl", "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir=str(out_dir / "tb"))
+        except Exception:
+            pass
+
+    def log(self, step: int, metrics: dict):
+        rec = {"step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(k, float(v), step)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_cfg: MatchaConfig,
+        opt_cfg: OptimizerConfig,
+        trainer_cfg: TrainerConfig,
+        train_dataset: TextMelDataset,
+        valid_dataset: TextMelDataset | None = None,
+        max_frames_per_batch: int = 32000,
+        len_bucket: int = 32,
+        text_bucket: int = 32,
+        trainable_mask=None,
+    ):
+        self.model_cfg = model_cfg
+        self.opt_cfg = opt_cfg
+        self.cfg = trainer_cfg
+        self.train_ds = train_dataset
+        self.valid_ds = valid_dataset
+        self.text_bucket = text_bucket
+
+        lengths = [train_dataset.mel_length(i) for i in range(len(train_dataset))]
+        self.sampler = BucketedBatchSampler(
+            lengths,
+            max_frames_per_batch=max_frames_per_batch,
+            len_bucket=len_bucket,
+            seed=trainer_cfg.seed,
+        )
+        if valid_dataset is not None and len(valid_dataset):
+            v_lengths = [
+                valid_dataset.mel_length(i) for i in range(len(valid_dataset))
+            ]
+            self.valid_sampler = BucketedBatchSampler(
+                v_lengths,
+                max_frames_per_batch=max_frames_per_batch,
+                len_bucket=len_bucket,
+                jitter=0.0,
+                seed=trainer_cfg.seed,
+            )
+        else:
+            self.valid_sampler = None
+
+        self.mesh = make_mesh() if trainer_cfg.use_mesh else None
+        self.tx = build_optimizer(opt_cfg, trainable_mask=trainable_mask)
+        self.train_step, self.eval_step = make_train_step(
+            model_cfg, self.tx, mesh=self.mesh
+        )
+        self.logger = MetricLogger(Path(trainer_cfg.output_dir))
+        self.out_dir = Path(trainer_cfg.output_dir)
+
+    # ------------------------------------------------------------------
+
+    def set_datasets(self, train_dataset, valid_dataset=None):
+        """Swap datasets (e.g. speaker-filtered) and rebuild the samplers."""
+        self.train_ds = train_dataset
+        self.valid_ds = valid_dataset
+        lengths = [train_dataset.mel_length(i) for i in range(len(train_dataset))]
+        self.sampler = BucketedBatchSampler(
+            lengths,
+            max_frames_per_batch=self.sampler.max_frames,
+            len_bucket=self.sampler.len_bucket,
+            seed=self.cfg.seed,
+        )
+        if valid_dataset is not None and len(valid_dataset):
+            v_lengths = [
+                valid_dataset.mel_length(i) for i in range(len(valid_dataset))
+            ]
+            self.valid_sampler = BucketedBatchSampler(
+                v_lengths,
+                max_frames_per_batch=self.sampler.max_frames,
+                len_bucket=self.sampler.len_bucket,
+                jitter=0.0,
+                seed=self.cfg.seed,
+            )
+        else:
+            self.valid_sampler = None
+
+    def init_state(self, resume_from: str | None = None) -> TrainState:
+        if resume_from:
+            tree, _ = load_checkpoint(resume_from)
+            state = TrainState(
+                params=tree["params"],
+                opt_state=tree["opt_state"],
+                step=np.asarray(tree["step"], np.int32),
+            )
+        else:
+            state = init_train_state(
+                self.model_cfg, self.tx, jax.random.PRNGKey(self.cfg.seed)
+            )
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+        return state
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return batch
+
+    def fit(self, resume_from: str | None = None, max_steps: int | None = None):
+        state = self.init_state(resume_from)
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        epoch = 0
+        done = False
+        while not done and (self.cfg.max_epochs < 0 or epoch < self.cfg.max_epochs):
+            t_epoch = time.time()
+            losses = []
+            for batch in epoch_batches(
+                self.train_ds, self.sampler, epoch, self.text_bucket
+            ):
+                state, metrics = self.train_step(state, self._put(batch), rng)
+                step = int(state.step)
+                losses.append(float(np.asarray(metrics["loss"])))
+                if step % self.cfg.log_every_n_steps == 0:
+                    self.logger.log(step, metrics)
+                if max_steps is not None and step >= max_steps:
+                    done = True
+                    break
+            self.logger.log(
+                int(state.step),
+                {
+                    "loss/train_epoch": float(np.mean(losses)) if losses else 0.0,
+                    "epoch": epoch,
+                    "epoch_seconds": time.time() - t_epoch,
+                },
+            )
+
+            if (
+                self.valid_sampler is not None
+                and (epoch + 1) % self.cfg.check_val_every_n_epoch == 0
+            ):
+                self.validate(state, epoch, rng)
+
+            if (epoch + 1) % self.cfg.checkpoint_every_n_epochs == 0 or done:
+                self.save(state, epoch)
+            epoch += 1
+        if not (epoch % max(self.cfg.checkpoint_every_n_epochs, 1) == 0):
+            self.save(state, epoch - 1)
+        return state
+
+    def validate(self, state: TrainState, epoch: int, rng):
+        vals = []
+        for batch in epoch_batches(
+            self.valid_ds, self.valid_sampler, 0, self.text_bucket
+        ):
+            m = self.eval_step(state.params, self._put(batch), rng)
+            vals.append(float(np.asarray(m["loss"])))
+        self.logger.log(
+            int(state.step),
+            {"loss/val": float(np.mean(vals)) if vals else 0.0, "epoch": epoch},
+        )
+
+    def save(self, state: TrainState, epoch: int):
+        params, opt_state = state.params, state.opt_state
+        tree = {
+            "params": jax.tree.map(np.asarray, params),
+            "opt_state": jax.tree.map(np.asarray, opt_state),
+            "step": int(state.step),
+            "epoch": epoch,
+        }
+        path = self.out_dir / "checkpoints" / f"epoch_{epoch:05d}"
+        save_checkpoint(path, tree, self.model_cfg)
+        self._prune_checkpoints()
+
+    def _prune_checkpoints(self):
+        ckpt_dir = self.out_dir / "checkpoints"
+        if not ckpt_dir.exists():
+            return
+        all_ckpts = sorted(ckpt_dir.glob("epoch_*"))
+        for stale in all_ckpts[: -self.cfg.keep_last_checkpoints]:
+            shutil.rmtree(stale, ignore_errors=True)

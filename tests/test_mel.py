@@ -105,8 +105,11 @@ class TestLogMel:
         assert out.shape == (t // CFG.hop_length + 1, CFG.n_mels)
 
     def test_fine_is_double_resolution(self, wav):
-        coarse = log_mel_spectrogram(jnp.asarray(wav), CFG)
-        fine = log_mel_spectrogram(jnp.asarray(wav), CFG.fine)
+        # precompute trims to the coarse hop multiple before BOTH extractions
+        # so the fine/coarse frame counts stay in lockstep
+        t = (len(wav) // CFG.hop_length) * CFG.hop_length
+        coarse = log_mel_spectrogram(jnp.asarray(wav[:t]), CFG)
+        fine = log_mel_spectrogram(jnp.asarray(wav[:t]), CFG.fine)
         assert fine.shape[0] == 2 * (coarse.shape[0] - 1) + 1
 
     def test_batched(self, wav):
