@@ -40,14 +40,16 @@ def main():
     # serving-realistic batch: B utterances x ~5.4 s each
     batch, tx, y_fine_len = 8, 256, 1024
     rng = np.random.default_rng(0)
-    mu_x = jnp.asarray(
-        rng.standard_normal((batch, tx, cfg.n_feats)), jnp.float32
-    )
+    iters = 10
+    mu_x_all = [
+        jnp.asarray(rng.standard_normal((batch, tx, cfg.n_feats)), jnp.float32)
+        for _ in range(iters + 1)
+    ]
     durations = jnp.full((batch, tx), y_fine_len // tx, jnp.float32)
     x_mask = jnp.ones((batch, tx), jnp.float32)
     y_fine_lengths = jnp.full((batch,), y_fine_len, jnp.int32)
 
-    def run():
+    def run(mu_x):
         mel, wav = synth._decode_jit(
             synth.params,
             synth.vocos_params,
@@ -61,13 +63,16 @@ def main():
         )
         return wav
 
-    # warmup/compile
-    run().block_until_ready()
+    # warmup/compile, and force full materialization on host
+    w = run(mu_x_all[-1])
+    _ = float(jnp.sum(w))
 
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        wav = run()
+    checksum = 0.0
+    for i in range(iters):
+        wav = run(mu_x_all[i])
+        # host-side reduction forces device execution + D2H each iteration
+        checksum += float(jnp.sum(wav[:, :8]))
     wav.block_until_ready()
     elapsed = (time.perf_counter() - t0) / iters
 
