@@ -24,32 +24,60 @@ def collate(
     dataset: TextMelDataset,
     plan: BucketPlan,
     text_bucket: int = 32,
+    use_native: bool | None = None,
 ) -> Batch:
-    items = [dataset[i] for i in plan.indices]
+    """Assemble one padded batch.  ``use_native=None`` auto-detects the C++
+    loader (native/libmatcha_native.so) and falls back to numpy."""
+    from matcha_tpu.data import native_loader
+
+    if use_native is None:
+        use_native = native_loader.available()
+
     b = plan.batch_size
     ty = plan.mel_len
-    tx = round_up(max(len(it["x"]) for it in items), text_bucket)
-    n_feats = items[0]["y"].shape[1]
+    utts = [dataset.utterance(i) for i in plan.indices]
+    tx = round_up(max(len(u.phoneme_ids) for u in utts), text_bucket)
 
     x = np.zeros((b, tx), np.int32)
     x_lengths = np.zeros((b,), np.int32)
+    spks = np.zeros((b,), np.int32)
+    for k, u in enumerate(utts):
+        n = len(u.phoneme_ids)
+        x[k, :n] = u.phoneme_ids
+        x_lengths[k] = n
+        spks[k] = u.speaker
+
+    if use_native:
+        coarse_paths = [dataset.mel_paths(i)[0] for i in plan.indices]
+        fine_paths = [dataset.mel_paths(i)[1] for i in plan.indices]
+        n_feats = int(np.load(coarse_paths[0], mmap_mode="r").shape[0])
+        y, y_lengths = native_loader.fill_batch(coarse_paths, ty, n_feats)
+        y_fine, y_fine_lengths = native_loader.fill_batch(
+            fine_paths, 2 * ty, n_feats
+        )
+        return Batch(
+            x,
+            x_lengths,
+            y,
+            y_lengths.astype(np.int32),
+            y_fine,
+            y_fine_lengths.astype(np.int32),
+            spks,
+        )
+
+    items = [dataset[i] for i in plan.indices]
+    n_feats = items[0]["y"].shape[1]
     y = np.zeros((b, ty, n_feats), np.float32)
     y_lengths = np.zeros((b,), np.int32)
     y_fine = np.zeros((b, 2 * ty, n_feats), np.float32)
     y_fine_lengths = np.zeros((b,), np.int32)
-    spks = np.zeros((b,), np.int32)
-
     for k, it in enumerate(items):
-        n = len(it["x"])
-        x[k, :n] = it["x"]
-        x_lengths[k] = n
         ny = min(it["y"].shape[0], ty)
         y[k, :ny] = it["y"][:ny]
         y_lengths[k] = ny
         nf = min(it["y_fine"].shape[0], 2 * ty)
         y_fine[k, :nf] = it["y_fine"][:nf]
         y_fine_lengths[k] = nf
-        spks[k] = it["spk"]
 
     return Batch(x, x_lengths, y, y_lengths, y_fine, y_fine_lengths, spks)
 

@@ -1,0 +1,78 @@
+"""Convert `charactr/vocos-mel-24khz` torch weights to JAX Vocos params.
+
+Usage:
+    python tools/convert_vocos.py --input pytorch_model.bin --output vocos.pkl
+
+Input: the HF torch state dict (``Vocos.from_pretrained`` weights the
+reference loads at runtime — matcha/vocos24k/vocos_wrapper.py:11).  Output:
+a pickled flax param tree for matcha_tpu.vocoder.vocos.Vocos.
+
+Layout rules are shared with tools/convert_matcha_ckpt.py and verified by
+tests/test_converters.py.  The depthwise conv7 is the one special case:
+torch stores (dim, 1, 7) groups=dim; flax feature_group_count=dim expects
+kernel (7, 1, dim).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from convert_matcha_ckpt import conv_k, dense_k, set_path  # noqa: E402
+
+
+def dwconv_k(w: np.ndarray) -> np.ndarray:
+    """torch depthwise Conv1d (dim, 1, k) → flax (k, 1, dim)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+
+def convert_vocos_state_dict(sd: dict, num_layers: int = 8) -> dict:
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+
+    set_path(params, "backbone/embed/kernel", conv_k(sd["backbone.embed.weight"]))
+    set_path(params, "backbone/embed/bias", sd["backbone.embed.bias"])
+    set_path(params, "backbone/norm/scale", sd["backbone.norm.weight"])
+    set_path(params, "backbone/norm/bias", sd["backbone.norm.bias"])
+    for i in range(num_layers):
+        src = f"backbone.convnext.{i}"
+        dst = f"backbone/convnext{i}"
+        set_path(params, f"{dst}/dwconv/kernel", dwconv_k(sd[f"{src}.dwconv.weight"]))
+        set_path(params, f"{dst}/dwconv/bias", sd[f"{src}.dwconv.bias"])
+        set_path(params, f"{dst}/norm/scale", sd[f"{src}.norm.weight"])
+        set_path(params, f"{dst}/norm/bias", sd[f"{src}.norm.bias"])
+        set_path(params, f"{dst}/pwconv1/kernel", dense_k(sd[f"{src}.pwconv1.weight"]))
+        set_path(params, f"{dst}/pwconv1/bias", sd[f"{src}.pwconv1.bias"])
+        set_path(params, f"{dst}/pwconv2/kernel", dense_k(sd[f"{src}.pwconv2.weight"]))
+        set_path(params, f"{dst}/pwconv2/bias", sd[f"{src}.pwconv2.bias"])
+        set_path(params, f"{dst}/gamma", sd[f"{src}.gamma"])
+    set_path(params, "backbone/final_layer_norm/scale", sd["backbone.final_layer_norm.weight"])
+    set_path(params, "backbone/final_layer_norm/bias", sd["backbone.final_layer_norm.bias"])
+    set_path(params, "head/out/kernel", dense_k(sd["head.out.weight"]))
+    set_path(params, "head/out/bias", sd["head.out.bias"])
+    return params
+
+
+def main(argv=None):
+    import torch
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    args = parser.parse_args(argv)
+
+    sd = torch.load(args.input, map_location="cpu", weights_only=True)
+    params = convert_vocos_state_dict({k: v.float().numpy() for k, v in sd.items()})
+    with open(args.output, "wb") as f:
+        pickle.dump(params, f)
+    print(f"converted vocos weights → {args.output}")
+
+
+if __name__ == "__main__":
+    main()
