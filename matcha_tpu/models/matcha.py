@@ -30,7 +30,7 @@ from matcha_tpu.models.config import MatchaConfig
 from matcha_tpu.models.decoder import Decoder
 from matcha_tpu.models.flow_matching import cfm_loss, cfm_synthesise
 from matcha_tpu.models.text_encoder import TextEncoder
-from matcha_tpu.ops.mas import maximum_path
+from matcha_tpu.ops.mas import durations_from_indices, maximum_path_indices
 from matcha_tpu.text.symbols import N_VOCAB
 from matcha_tpu.utils.model_math import downsample_time, sequence_mask
 
@@ -115,12 +115,13 @@ class MatchaTTS(nn.Module):
         log_prior = log_prior_scores(
             jax.lax.stop_gradient(mu_x32), y_fine32
         )
-        attn = jax.lax.stop_gradient(
-            maximum_path(log_prior, x_lengths, y_fine_lengths)
-        )  # (B, Tx, Ty_fine)
+        # (B, Ty_fine) frame→token indices; -1 on padding frames
+        idx = jax.lax.stop_gradient(
+            maximum_path_indices(log_prior, x_lengths, y_fine_lengths)
+        )
 
         # ---- duration loss ----
-        mas_durations = jnp.sum(attn, axis=-1)  # (B, Tx)
+        mas_durations = durations_from_indices(idx, x.shape[1])  # (B, Tx)
         # +2 pushes log targets above 1 where the loss is less forgiving,
         # which markedly helps the duration predictor (reference:
         # matcha_tts.py:113-121); inference subtracts it back.
@@ -132,9 +133,10 @@ class MatchaTTS(nn.Module):
         ) / jnp.sum(x_lengths)
 
         # ---- prior loss (fine resolution, fp32) ----
-        mu_y_fine = jnp.einsum(
-            "bij,bic->bjc", attn, mu_x32, preferred_element_type=jnp.float32
-        )  # (B, Ty_fine, C)
+        # prior assembly is a gather, not a dense-path matmul: O(B·Ty·C)
+        mu_y_fine = jnp.take_along_axis(
+            mu_x32, jnp.clip(idx, 0)[:, :, None], axis=1
+        ) * y_fine_mask[..., None]  # (B, Ty_fine, C)
         if cfg.prior_loss:
             m = y_fine_mask[..., None]
             prior_loss = jnp.sum(

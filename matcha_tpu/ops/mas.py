@@ -20,8 +20,6 @@ anchors the property tests.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,18 +51,26 @@ def maximum_path_numpy(value: np.ndarray, x_len: int, y_len: int) -> np.ndarray:
     return path
 
 
-@functools.partial(jax.jit, static_argnames=())
-def maximum_path(
+@jax.jit
+def maximum_path_indices(
     value: jax.Array, x_lengths: jax.Array, y_lengths: jax.Array
 ) -> jax.Array:
-    """Batched MAS.
+    """Batched MAS returning per-frame token indices.
 
     Args:
         value: (B, Tx, Ty) fp32 log-prior scores.
         x_lengths: (B,) valid token counts.
         y_lengths: (B,) valid mel-frame counts.
     Returns:
-        (B, Tx, Ty) binary alignment path (fp32), zero outside valid regions.
+        (B, Ty) int32 — the aligned token index for each mel frame, or -1
+        for frames beyond ``y_lengths``.
+
+    This compact form is what training actually consumes: durations are a
+    histogram of the indices and the prior assembly ``mu_y = mu_x[idx]`` is
+    a gather — O(B·Ty·C) instead of the O(B·Tx·Ty·C) dense-path matmul.
+    The backward scan carries only a (B,) cursor and emits (B,) indices per
+    step, avoiding the (B, Tx, Ty) one-hot materialization + transpose that
+    dominated the dense formulation's runtime on TPU.
     """
     value = value.astype(jnp.float32)
     b, t_x, t_y = value.shape
@@ -90,27 +96,42 @@ def maximum_path(
     _, decisions = jax.lax.scan(fwd, f0, v_cols)  # (Ty-1, B, Tx) bool
 
     # --- backward: walk from (x_len-1, y_len-1) back to (0, 0) ---
-    # Iterate j = Ty-1 .. 0.  Before the path starts (j >= y_len) emit zeros;
-    # the cursor is parked at x_len-1 so it is already correct at activation.
+    # Iterate j = Ty-1 .. 0.  Before the path starts (j >= y_len) the cursor
+    # is parked at x_len-1 and -1 is emitted.
     cols = jnp.arange(t_y, dtype=jnp.int32)
 
     def bwd(i_cursor, inputs):
         j, dec_col = inputs  # dec_col: (B, Tx) decision for step j-1 -> j
         active = j < y_lengths  # (B,)
-        row = jax.nn.one_hot(i_cursor, t_x, dtype=jnp.float32)
-        row = jnp.where(active[:, None], row, 0.0)
         took_diag = jnp.take_along_axis(
             dec_col, i_cursor[:, None], axis=1
         )[:, 0]
         step_down = active & (j > 0) & (i_cursor > 0) & took_diag
-        return i_cursor - step_down.astype(jnp.int32), row
+        out_idx = jnp.where(active, i_cursor, -1)
+        return i_cursor - step_down.astype(jnp.int32), out_idx
 
     # decision columns indexed by j (j=0 has no incoming transition)
     dec_by_j = jnp.concatenate(
         [jnp.zeros((1, b, t_x), dtype=bool), decisions], axis=0
     )
-    _, rows_rev = jax.lax.scan(
+    _, idx_rev = jax.lax.scan(
         bwd, x_lengths - 1, (cols[::-1], dec_by_j[::-1])
     )
-    path = jnp.moveaxis(rows_rev[::-1], 0, 2)  # (B, Tx, Ty)
-    return path * row_valid[:, :, None].astype(jnp.float32)
+    return jnp.transpose(idx_rev[::-1])  # (B, Ty)
+
+
+def durations_from_indices(idx: jax.Array, t_x: int) -> jax.Array:
+    """(B, Ty) frame→token indices → (B, Tx) per-token frame counts."""
+    oh = jax.nn.one_hot(idx, t_x, dtype=jnp.float32)  # -1 rows are all-zero
+    return jnp.sum(oh, axis=1)
+
+
+@jax.jit
+def maximum_path(
+    value: jax.Array, x_lengths: jax.Array, y_lengths: jax.Array
+) -> jax.Array:
+    """Dense-path MAS: (B, Tx, Ty) binary alignment (compat wrapper)."""
+    idx = maximum_path_indices(value, x_lengths, y_lengths)
+    t_x = value.shape[1]
+    path = jax.nn.one_hot(idx, t_x, dtype=jnp.float32)  # (B, Ty, Tx)
+    return jnp.transpose(path, (0, 2, 1))
