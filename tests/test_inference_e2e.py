@@ -1,0 +1,136 @@
+"""End-to-end inference pipeline tests (tiny config, random weights).
+
+Covers the two-stage bucketed synthesis path, batched synthesis, voice
+mixing, trailing-silence trim, and the serving-layer request plumbing —
+all hermetic on the CPU test mesh.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from matcha_tpu.inference import (
+    MatchaSynthesizer,
+    SynthesisResult,
+    pick_bucket,
+    trim_trailing_silence,
+)
+from matcha_tpu.models.config import tiny_config
+from matcha_tpu.models.matcha import init_params
+from matcha_tpu.vocoder.vocos import VocosConfig, init_vocos_params
+
+CFG = tiny_config()
+VCFG = VocosConfig(input_channels=CFG.n_feats, dim=32, intermediate_dim=64, num_layers=1)
+
+
+@pytest.fixture(scope="module")
+def synth():
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    vocos_params = init_vocos_params(jax.random.PRNGKey(1), VCFG)
+    return MatchaSynthesizer(
+        CFG,
+        params,
+        vocos_params,
+        VCFG,
+        text_buckets=(16, 32, 64),
+        mel_fine_buckets=(64, 128, 256),
+    )
+
+
+class TestBuckets:
+    def test_pick_bucket(self):
+        assert pick_bucket(5, (16, 32)) == 16
+        assert pick_bucket(16, (16, 32)) == 16
+        assert pick_bucket(17, (16, 32)) == 32
+        with pytest.raises(ValueError):
+            pick_bucket(33, (16, 32))
+
+
+class TestSynthesiseIds:
+    def test_returns_waveform(self, synth):
+        ids = list(np.random.default_rng(0).integers(0, 600, 10))
+        result = synth.synthesise_ids(ids, speaker=0, n_timesteps=2)
+        assert isinstance(result, SynthesisResult)
+        assert result.wav.dtype == np.float32
+        assert np.isfinite(result.wav).all()
+        assert result.rtf > 0
+
+    def test_deterministic(self, synth):
+        ids = list(np.random.default_rng(1).integers(0, 600, 8))
+        r1 = synth.synthesise_ids(ids, speaker=1, n_timesteps=2)
+        r2 = synth.synthesise_ids(ids, speaker=1, n_timesteps=2)
+        np.testing.assert_array_equal(r1.wav, r2.wav)
+
+    def test_voice_mix(self, synth):
+        ids = list(np.random.default_rng(2).integers(0, 600, 8))
+        r = synth.synthesise_ids(ids, voice_mix=[(0, 0.7), (1, 0.3)], n_timesteps=2)
+        assert np.isfinite(r.wav).all()
+
+    def test_debug_outputs(self, synth):
+        ids = list(np.random.default_rng(3).integers(0, 600, 8))
+        r = synth.synthesise_ids(ids, speaker=0, n_timesteps=2, debug=True)
+        assert r.mel is not None and r.mel.shape[1] == CFG.n_feats
+        assert r.durations is not None and len(r.durations) == len(ids)
+
+    def test_duration_floor_one_frame(self, synth):
+        # random weights predict exp(0)-2 < 0 per token, so every duration
+        # clips to the 1-frame floor regardless of scale — the contract is
+        # durations >= 1 on valid tokens (scale effects need trained logw)
+        ids = list(np.random.default_rng(4).integers(0, 600, 12))
+        r = synth.synthesise_ids(ids, n_timesteps=2, debug=True)
+        assert (r.durations >= 1.0).all()
+
+
+class TestSynthesiseBatch:
+    def test_batch_matches_individual_lengths(self, synth):
+        rng = np.random.default_rng(5)
+        id_lists = [list(rng.integers(0, 600, n)) for n in (6, 10, 14)]
+        results = synth.synthesise_batch(id_lists, speakers=[0, 1, 2], n_timesteps=2)
+        assert len(results) == 3
+        for r in results:
+            assert np.isfinite(r.wav).all()
+
+
+class TestTrimTrailingSilence:
+    def test_trims_silence(self):
+        sr = 24000
+        speech = np.random.default_rng(0).uniform(-0.5, 0.5, sr).astype(np.float32)
+        silence = np.zeros(sr // 2, np.float32)
+        out = trim_trailing_silence(np.concatenate([speech, silence]))
+        assert len(out) <= sr + 240  # at most one window of slack
+        assert len(out) >= sr - 240
+
+    def test_no_silence_untouched(self):
+        speech = np.random.default_rng(0).uniform(-0.5, 0.5, 2400).astype(np.float32)
+        np.testing.assert_array_equal(trim_trailing_silence(speech), speech)
+
+
+class TestServingLayer:
+    def test_parse_voice(self):
+        from matcha_tpu.serving.server import parse_voice
+
+        assert parse_voice("3") == [(3, 1.0)]
+        mix = parse_voice("2(70)+6(30)")
+        assert mix[0][0] == 2 and abs(mix[0][1] - 0.7) < 1e-9
+        assert mix[1][0] == 6 and abs(mix[1][1] - 0.3) < 1e-9
+        with pytest.raises(ValueError):
+            parse_voice("2(70)+bad")
+
+    def test_wav_bytes_header(self):
+        from matcha_tpu.serving.server import wav_bytes
+
+        data = wav_bytes(np.zeros(2400, np.float32))
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+    def test_batcher_groups_requests(self, synth):
+        from matcha_tpu.serving.batcher import RequestBatcher
+
+        batcher = RequestBatcher(synth, max_batch=4, max_wait_ms=50)
+        rng = np.random.default_rng(6)
+        futures = [
+            batcher.submit(list(rng.integers(0, 600, 8)), speaker=0, n_timesteps=2)
+            for _ in range(3)
+        ]
+        results = [f.result(timeout=120) for f in futures]
+        assert all(np.isfinite(r.wav).all() for r in results)
+        batcher.shutdown()
