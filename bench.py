@@ -27,15 +27,20 @@ import numpy as np
 
 
 def main():
+    import dataclasses
+
     from matcha_tpu.inference import MatchaSynthesizer
     from matcha_tpu.models.config import MatchaConfig
     from matcha_tpu.models.matcha import init_params
     from matcha_tpu.vocoder.vocos import VocosConfig, init_vocos_params
 
-    cfg = MatchaConfig()
+    # production serving operating point: bf16 activations (the reference
+    # serves under torch.autocast bf16 too) with fp32 quality islands
+    cfg = dataclasses.replace(MatchaConfig(), compute_dtype="bfloat16")
+    vocos_cfg = VocosConfig(compute_dtype="bfloat16")
     params = init_params(cfg, jax.random.PRNGKey(0))
-    vocos_params = init_vocos_params(jax.random.PRNGKey(1))
-    synth = MatchaSynthesizer(cfg, params, vocos_params, VocosConfig())
+    vocos_params = init_vocos_params(jax.random.PRNGKey(1), vocos_cfg)
+    synth = MatchaSynthesizer(cfg, params, vocos_params, vocos_cfg)
 
     # serving-realistic batch: B utterances x ~5.4 s each
     batch, tx, y_fine_len = 8, 256, 1024

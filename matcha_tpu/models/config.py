@@ -70,6 +70,12 @@ class MatchaConfig:
     n_spks: int = 16
     n_feats: int = 100
     spk_emb_dim: int = 96
+    # "float32" or "bfloat16": activation compute dtype for the transformer/
+    # U-Net bodies.  Params stay fp32; MAS, prior/duration losses, mel head,
+    # final velocity projection, and the ODE state remain fp32 islands
+    # (reference bf16-mixed regime: configs/trainer/default.yaml:20-26,
+    # matcha_tts.py:97-106).
+    compute_dtype: str = "float32"
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     duration_predictor: DurationPredictorConfig = field(
         default_factory=DurationPredictorConfig

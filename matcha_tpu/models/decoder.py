@@ -60,12 +60,13 @@ class TimestepMLP(nn.Module):
     """
 
     time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, emb: jax.Array) -> jax.Array:
-        h = nn.Dense(self.time_embed_dim, name="linear_1")(emb)
+        h = nn.Dense(self.time_embed_dim, name="linear_1", dtype=self.dtype)(emb)
         h = nn.silu(h)
-        return nn.Dense(self.time_embed_dim, name="linear_2")(h)
+        return nn.Dense(self.time_embed_dim, name="linear_2", dtype=self.dtype)(h)
 
 
 class Block1D(nn.Module):
@@ -73,12 +74,14 @@ class Block1D(nn.Module):
 
     dim_out: int
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
-        h = nn.Conv(self.dim_out, (3,), padding="SAME")(x * mask[..., None])
-        h = nn.GroupNorm(num_groups=self.groups)(h)
-        return mish(h) * mask[..., None]
+        m = mask[..., None].astype(self.dtype)
+        h = nn.Conv(self.dim_out, (3,), padding="SAME", dtype=self.dtype)(x * m)
+        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(h)
+        return mish(h) * m
 
 
 class ResnetBlock1D(nn.Module):
@@ -89,13 +92,18 @@ class ResnetBlock1D(nn.Module):
 
     dim_out: int
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, t_emb: jax.Array) -> jax.Array:
-        h = Block1D(self.dim_out, self.groups, name="block1")(x, mask)
-        h = h + nn.Dense(self.dim_out, name="time_proj")(mish(t_emb))[:, None, :]
-        h = Block1D(self.dim_out, self.groups, name="block2")(h, mask)
-        res = nn.Conv(self.dim_out, (1,), name="res_conv")(x * mask[..., None])
+        h = Block1D(self.dim_out, self.groups, dtype=self.dtype, name="block1")(x, mask)
+        h = h + nn.Dense(self.dim_out, name="time_proj", dtype=self.dtype)(
+            mish(t_emb)
+        )[:, None, :]
+        h = Block1D(self.dim_out, self.groups, dtype=self.dtype, name="block2")(h, mask)
+        res = nn.Conv(self.dim_out, (1,), name="res_conv", dtype=self.dtype)(
+            x * mask[..., None].astype(self.dtype)
+        )
         return h + res
 
 
@@ -109,17 +117,19 @@ class SnakeBetaFFN(nn.Module):
     dim: int
     mult: int = 4
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         inner = self.dim * self.mult
-        h = nn.Dense(inner, name="proj_in")(x)
+        h = nn.Dense(inner, name="proj_in", dtype=self.dtype)(x)
         log_alpha = self.param("alpha", nn.initializers.zeros, (inner,))
         log_beta = self.param("beta", nn.initializers.zeros, (inner,))
-        alpha, beta = jnp.exp(log_alpha), jnp.exp(log_beta)
-        h = h + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(h * alpha))
+        alpha = jnp.exp(log_alpha).astype(self.dtype)
+        inv_beta = (1.0 / (jnp.exp(log_beta) + 1e-9)).astype(self.dtype)
+        h = h + inv_beta * jnp.square(jnp.sin(h * alpha))
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(self.dim, name="proj_out")(h)
+        return nn.Dense(self.dim, name="proj_out", dtype=self.dtype)(h)
 
 
 class DecoderTransformerBlock(nn.Module):
@@ -133,16 +143,17 @@ class DecoderTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
         b, t, _ = x.shape
         inner = self.num_heads * self.head_dim
 
-        h = nn.LayerNorm(name="norm1")(x)
-        q = nn.Dense(inner, use_bias=False, name="to_q")(h)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(h)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(h)
+        h = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
+        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(h)
+        k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(h)
+        v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(h)
 
         def split(y):
             return y.reshape(b, t, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
@@ -157,12 +168,12 @@ class DecoderTransformerBlock(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
-        x = x + nn.Dense(self.dim, name="to_out")(out)
+        x = x + nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
 
-        h = nn.LayerNorm(name="norm3")(x)
-        x = x + SnakeBetaFFN(self.dim, dropout=self.dropout, name="ff")(
-            h, deterministic=deterministic
-        )
+        h = nn.LayerNorm(name="norm3", dtype=self.dtype)(x)
+        x = x + SnakeBetaFFN(
+            self.dim, dropout=self.dropout, dtype=self.dtype, name="ff"
+        )(h, deterministic=deterministic)
         return x
 
 
@@ -170,10 +181,13 @@ class Downsample1D(nn.Module):
     """Stride-2 conv halving the time axis. (reference: decoder.py:67-73)"""
 
     dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Conv(self.dim, (3,), strides=(2,), padding=((1, 1),))(x)
+        return nn.Conv(
+            self.dim, (3,), strides=(2,), padding=((1, 1),), dtype=self.dtype
+        )(x)
 
 
 class Upsample1D(nn.Module):
@@ -183,11 +197,13 @@ class Upsample1D(nn.Module):
     """
 
     dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         return nn.ConvTranspose(
-            self.dim, (4,), strides=(2,), padding="SAME", transpose_kernel=True
+            self.dim, (4,), strides=(2,), padding="SAME", transpose_kernel=True,
+            dtype=self.dtype,
         )(x)
 
 
@@ -196,6 +212,7 @@ class Decoder(nn.Module):
 
     cfg: DecoderConfig
     out_channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, mu, t, *, deterministic: bool = True):
@@ -211,11 +228,13 @@ class Decoder(nn.Module):
         """
         cfg = self.cfg
         in_ch = x.shape[-1] + mu.shape[-1]
-        t = jnp.broadcast_to(jnp.asarray(t, x.dtype), (x.shape[0],))
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
         t_emb = SinusoidalTimeEmbedding(in_ch, name="time_embeddings")(t)
-        t_emb = TimestepMLP(cfg.channels[0] * 4, name="time_mlp")(t_emb)
+        t_emb = TimestepMLP(
+            cfg.channels[0] * 4, dtype=self.dtype, name="time_mlp"
+        )(t_emb)
 
-        h = jnp.concatenate([x, mu], axis=-1)
+        h = jnp.concatenate([x, mu], axis=-1).astype(self.dtype)
 
         def run_blocks(h, m, stage, n):
             for bi in range(cfg.n_blocks):
@@ -224,6 +243,7 @@ class Decoder(nn.Module):
                     num_heads=cfg.num_heads,
                     head_dim=cfg.attention_head_dim,
                     dropout=cfg.dropout,
+                    dtype=self.dtype,
                     name=f"{stage}_tblock{bi}",
                 )(h, m, deterministic=deterministic)
             return h
@@ -232,21 +252,22 @@ class Decoder(nn.Module):
         masks = [mask]
         for i, ch in enumerate(cfg.channels):
             m = masks[-1]
-            h = ResnetBlock1D(ch, name=f"down{i}_resnet")(h, m, t_emb)
+            h = ResnetBlock1D(ch, dtype=self.dtype, name=f"down{i}_resnet")(h, m, t_emb)
             h = run_blocks(h, m, f"down{i}", ch)
             skips.append(h)
             is_last = i == len(cfg.channels) - 1
             if not is_last:
-                h = Downsample1D(ch, name=f"down{i}_downsample")(h * m[..., None])
+                h = Downsample1D(ch, dtype=self.dtype, name=f"down{i}_downsample")(h * m[..., None].astype(self.dtype))
                 masks.append(m[:, ::2])
             else:
-                h = nn.Conv(ch, (3,), padding="SAME", name=f"down{i}_conv")(
-                    h * m[..., None]
-                )
+                h = nn.Conv(
+                    ch, (3,), padding="SAME", dtype=self.dtype,
+                    name=f"down{i}_conv",
+                )(h * m[..., None].astype(self.dtype))
 
         m = masks[-1]
         for i in range(cfg.num_mid_blocks):
-            h = ResnetBlock1D(cfg.channels[-1], name=f"mid{i}_resnet")(h, m, t_emb)
+            h = ResnetBlock1D(cfg.channels[-1], dtype=self.dtype, name=f"mid{i}_resnet")(h, m, t_emb)
             h = run_blocks(h, m, f"mid{i}", cfg.channels[-1])
 
         up_channels = cfg.channels[::-1] + (cfg.channels[0],)
@@ -254,18 +275,20 @@ class Decoder(nn.Module):
             out_ch = up_channels[i + 1]
             m = masks.pop()
             h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = ResnetBlock1D(out_ch, name=f"up{i}_resnet")(h, m, t_emb)
+            h = ResnetBlock1D(out_ch, dtype=self.dtype, name=f"up{i}_resnet")(h, m, t_emb)
             h = run_blocks(h, m, f"up{i}", out_ch)
             is_last = i == len(up_channels) - 2
             if not is_last:
-                h = Upsample1D(out_ch, name=f"up{i}_upsample")(h * m[..., None])
+                h = Upsample1D(out_ch, dtype=self.dtype, name=f"up{i}_upsample")(h * m[..., None].astype(self.dtype))
             else:
-                h = nn.Conv(out_ch, (3,), padding="SAME", name=f"up{i}_conv")(
-                    h * m[..., None]
-                )
+                h = nn.Conv(
+                    out_ch, (3,), padding="SAME", dtype=self.dtype,
+                    name=f"up{i}_conv",
+                )(h * m[..., None].astype(self.dtype))
 
-        h = Block1D(up_channels[-1], name="final_block")(h, mask)
+        h = Block1D(up_channels[-1], dtype=self.dtype, name="final_block")(h, mask)
+        # final projection in fp32: the velocity output feeds fp32 ODE math
         out = nn.Conv(self.out_channels, (1,), name="final_proj")(
-            h * mask[..., None]
+            h.astype(jnp.float32) * mask[..., None]
         )
         return out * mask[..., None]

@@ -62,15 +62,17 @@ class MatchaTTS(nn.Module):
         self.speaker_embeddings_dur = nn.Embed(
             cfg.n_spks, cfg.spk_emb_dim, name="speaker_embeddings_dur"
         )
+        dtype = jnp.dtype(cfg.compute_dtype)
         self.encoder = TextEncoder(
             cfg=cfg.encoder,
             dp_cfg=cfg.duration_predictor,
             n_vocab=N_VOCAB,
             spk_emb_dim=cfg.spk_emb_dim,
+            dtype=dtype,
             name="encoder",
         )
         self.decoder = Decoder(
-            cfg=cfg.decoder, out_channels=cfg.n_feats, name="decoder"
+            cfg=cfg.decoder, out_channels=cfg.n_feats, dtype=dtype, name="decoder"
         )
 
     # ------------------------------------------------------------------

@@ -36,19 +36,22 @@ class ChannelLayerNorm(nn.Module):
 
     Equivalent to the reference's channel-dim LayerNorm on (B, C, T)
     (reference: text_encoder.py:10-27) — in time-major layout it is just a
-    last-axis LayerNorm.
+    last-axis LayerNorm.  Statistics are always fp32; the affine output is
+    cast back to ``dtype``.
     """
 
     eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
         beta = self.param("beta", nn.initializers.zeros, (x.shape[-1],))
-        return y * gamma + beta
+        return (y * gamma + beta).astype(self.dtype)
 
 
 class ConvSiluNorm(nn.Module):
@@ -62,22 +65,26 @@ class ConvSiluNorm(nn.Module):
     kernel_size: int
     n_layers: int
     p_dropout: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
         x_org = x
         h = x
+        m = mask[..., None].astype(self.dtype)
         for _ in range(self.n_layers):
-            h = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME")(
-                h * mask[..., None]
-            )
-            h = ChannelLayerNorm()(h)
+            h = nn.Conv(
+                self.hidden_channels, (self.kernel_size,), padding="SAME",
+                dtype=self.dtype,
+            )(h * m)
+            h = ChannelLayerNorm(dtype=self.dtype)(h)
             h = nn.silu(h)
             h = nn.Dropout(self.p_dropout)(h, deterministic=deterministic)
         proj = nn.Conv(
-            self.out_channels, (1,), kernel_init=nn.initializers.xavier_uniform()
+            self.out_channels, (1,), kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
         )
-        return (x_org + proj(h)) * mask[..., None]
+        return (x_org + proj(h)) * m
 
 
 def rope_cache(max_len: int, rot_dim: int, base: float = 10_000.0):
@@ -116,6 +123,7 @@ class RopeSelfAttention(nn.Module):
     n_heads: int
     rope_max_len: int
     p_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
@@ -124,9 +132,9 @@ class RopeSelfAttention(nn.Module):
         rot_dim = int(head_dim * 0.5)
         xavier = nn.initializers.xavier_uniform()
 
-        q = nn.Dense(self.channels, kernel_init=xavier, name="q")(x)
-        k = nn.Dense(self.channels, kernel_init=xavier, name="k")(x)
-        v = nn.Dense(self.channels, kernel_init=xavier, name="v")(x)
+        q = nn.Dense(self.channels, kernel_init=xavier, name="q", dtype=self.dtype)(x)
+        k = nn.Dense(self.channels, kernel_init=xavier, name="k", dtype=self.dtype)(x)
+        v = nn.Dense(self.channels, kernel_init=xavier, name="v", dtype=self.dtype)(x)
 
         def split_heads(y):
             return y.reshape(b, t, self.n_heads, head_dim).transpose(0, 2, 1, 3)
@@ -134,7 +142,8 @@ class RopeSelfAttention(nn.Module):
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
 
         cos_np, sin_np = rope_cache(self.rope_max_len, rot_dim)
-        cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+        cos = jnp.asarray(cos_np, self.dtype)
+        sin = jnp.asarray(sin_np, self.dtype)
         q = apply_rope(q, cos, sin, rot_dim)
         k = apply_rope(k, cos, sin, rot_dim)
 
@@ -148,7 +157,7 @@ class RopeSelfAttention(nn.Module):
         weights = nn.Dropout(self.p_dropout)(weights, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.channels)
-        return nn.Dense(self.channels, name="out")(out)
+        return nn.Dense(self.channels, name="out", dtype=self.dtype)(out)
 
 
 class ConvFFN(nn.Module):
@@ -161,14 +170,21 @@ class ConvFFN(nn.Module):
     out_channels: int
     kernel_size: int
     p_dropout: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
-        m = mask[..., None]
-        h = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME")(x * m)
+        m = mask[..., None].astype(self.dtype)
+        h = nn.Conv(
+            self.filter_channels, (self.kernel_size,), padding="SAME",
+            dtype=self.dtype,
+        )(x * m)
         h = nn.relu(h)
         h = nn.Dropout(self.p_dropout)(h, deterministic=deterministic)
-        h = nn.Conv(self.out_channels, (self.kernel_size,), padding="SAME")(h * m)
+        h = nn.Conv(
+            self.out_channels, (self.kernel_size,), padding="SAME",
+            dtype=self.dtype,
+        )(h * m)
         return h * m
 
 
@@ -185,10 +201,11 @@ class TransformerEncoder(nn.Module):
     kernel_size: int
     p_dropout: float
     rope_max_len: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
-        m = mask[..., None]
+        m = mask[..., None].astype(self.dtype)
         for _ in range(self.n_layers):
             x = x * m
             y = RopeSelfAttention(
@@ -196,17 +213,19 @@ class TransformerEncoder(nn.Module):
                 n_heads=self.n_heads,
                 rope_max_len=self.rope_max_len,
                 p_dropout=self.p_dropout,
+                dtype=self.dtype,
             )(x, mask, deterministic=deterministic)
             y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
-            x = ChannelLayerNorm()(x + y)
+            x = ChannelLayerNorm(dtype=self.dtype)(x + y)
             y = ConvFFN(
                 filter_channels=self.filter_channels,
                 out_channels=self.hidden_channels,
                 kernel_size=self.kernel_size,
                 p_dropout=self.p_dropout,
+                dtype=self.dtype,
             )(x, mask, deterministic=deterministic)
             y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
-            x = ChannelLayerNorm()(x + y)
+            x = ChannelLayerNorm(dtype=self.dtype)(x + y)
         return x * m
 
 
@@ -219,6 +238,7 @@ class DurationPredictor(nn.Module):
     """
 
     cfg: DurationPredictorConfig
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, spk_emb, *, deterministic: bool = True):
@@ -230,18 +250,23 @@ class DurationPredictor(nn.Module):
                 [jnp.ones((fc,), dtype), jnp.zeros((fc,), dtype)]
             ),
             name="spk_proj",
+            dtype=self.dtype,
         )(spk_emb)
         gamma, beta = jnp.split(film[:, None, :], 2, axis=-1)  # (B, 1, fc)
 
-        m = mask[..., None]
+        m = mask[..., None].astype(self.dtype)
         h = x
         for _ in range(self.cfg.n_layers):
-            h = nn.Conv(fc, (self.cfg.kernel_size,), padding="SAME")(h * m)
+            h = nn.Conv(
+                fc, (self.cfg.kernel_size,), padding="SAME", dtype=self.dtype
+            )(h * m)
             h = nn.relu(h)
-            h = ChannelLayerNorm()(h)
+            h = ChannelLayerNorm(dtype=self.dtype)(h)
             h = h * gamma + beta
             h = nn.Dropout(self.cfg.p_dropout)(h, deterministic=deterministic)
-        logw = nn.Conv(1, (1,))(h * m)
+        # the duration head runs fp32: log-durations feed a Huber loss whose
+        # sub-0.1 differences vanish in bf16
+        logw = nn.Conv(1, (1,))(h.astype(jnp.float32) * mask[..., None])
         return logw[..., 0] * mask
 
 
@@ -255,6 +280,7 @@ class TextEncoder(nn.Module):
     dp_cfg: DurationPredictorConfig
     n_vocab: int
     spk_emb_dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_ids, x_mask, spk_enc, spk_dur, *, deterministic: bool = True):
@@ -274,8 +300,9 @@ class TextEncoder(nn.Module):
             c,
             embedding_init=nn.initializers.normal(stddev=c**-0.5),
             name="emb",
+            dtype=self.dtype,
         )
-        x = emb(x_ids) * math.sqrt(c)
+        x = emb(x_ids) * jnp.asarray(math.sqrt(c), self.dtype)
 
         if self.cfg.prenet:
             x = ConvSiluNorm(
@@ -285,11 +312,13 @@ class TextEncoder(nn.Module):
                 n_layers=self.cfg.prenet_layers,
                 p_dropout=self.cfg.p_dropout,
                 name="prenet",
+                dtype=self.dtype,
             )(x, x_mask, deterministic=deterministic)
 
         t = x.shape[1]
         spk_tiled = jnp.broadcast_to(
-            spk_enc[:, None, :], (x.shape[0], t, self.spk_emb_dim)
+            spk_enc[:, None, :].astype(self.dtype),
+            (x.shape[0], t, self.spk_emb_dim),
         )
         x = jnp.concatenate([x, spk_tiled], axis=-1)
 
@@ -302,9 +331,11 @@ class TextEncoder(nn.Module):
             p_dropout=self.cfg.p_dropout,
             rope_max_len=self.cfg.rope_max_len,
             name="encoder",
+            dtype=self.dtype,
         )(x, x_mask, deterministic=deterministic)
 
-        h = nn.Conv(c, (1,), name="proj_m_hidden")(x)
+        # the mel head runs fp32: mu_x feeds the fp32 MAS/prior island
+        h = nn.Conv(c, (1,), name="proj_m_hidden")(x.astype(jnp.float32))
         h = nn.silu(h)
         mu_x = nn.Conv(
             self.cfg.n_feats,
@@ -315,7 +346,7 @@ class TextEncoder(nn.Module):
         mu_x = mu_x * x_mask[..., None]
 
         # The duration branch must not shape the acoustic representation.
-        logw = DurationPredictor(self.dp_cfg, name="proj_w")(
+        logw = DurationPredictor(self.dp_cfg, name="proj_w", dtype=self.dtype)(
             jax.lax.stop_gradient(x), x_mask, spk_dur, deterministic=deterministic
         )
         return mu_x, logw

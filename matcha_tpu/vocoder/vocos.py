@@ -34,6 +34,9 @@ class VocosConfig:
     n_fft: int = 1024
     hop_length: int = 256
     sample_rate: int = 24000
+    # activation dtype for the ConvNeXt backbone; the ISTFT head (mag/phase
+    # → irfft → overlap-add) always runs fp32 for audio fidelity
+    compute_dtype: str = "float32"
 
 
 class ConvNeXtBlock(nn.Module):
@@ -42,23 +45,24 @@ class ConvNeXtBlock(nn.Module):
     dim: int
     intermediate_dim: int
     layer_scale_init: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = nn.Conv(
             self.dim, (7,), padding="SAME", feature_group_count=self.dim,
-            name="dwconv",
+            name="dwconv", dtype=self.dtype,
         )(x)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
-        h = nn.Dense(self.intermediate_dim, name="pwconv1")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=self.dtype)(h)
+        h = nn.Dense(self.intermediate_dim, name="pwconv1", dtype=self.dtype)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.dim, name="pwconv2")(h)
+        h = nn.Dense(self.dim, name="pwconv2", dtype=self.dtype)(h)
         gamma = self.param(
             "gamma",
             nn.initializers.constant(self.layer_scale_init),
             (self.dim,),
         )
-        return x + gamma * h
+        return x + gamma.astype(self.dtype) * h
 
 
 class VocosBackbone(nn.Module):
@@ -67,13 +71,20 @@ class VocosBackbone(nn.Module):
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
         """(B, T, n_mels) log-mel → (B, T, dim) features."""
-        h = nn.Conv(self.cfg.dim, (7,), padding="SAME", name="embed")(mel)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        h = nn.Conv(self.cfg.dim, (7,), padding="SAME", name="embed", dtype=dtype)(
+            mel.astype(dtype)
+        )
+        h = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=dtype)(h)
         for i in range(self.cfg.num_layers):
             h = ConvNeXtBlock(
-                self.cfg.dim, self.cfg.intermediate_dim, name=f"convnext{i}"
+                self.cfg.dim, self.cfg.intermediate_dim, dtype=dtype,
+                name=f"convnext{i}",
             )(h)
-        return nn.LayerNorm(epsilon=1e-6, name="final_layer_norm")(h)
+        # final norm in fp32 — feeds the fp32 ISTFT head
+        return nn.LayerNorm(epsilon=1e-6, name="final_layer_norm")(
+            h.astype(jnp.float32)
+        )
 
 
 def overlap_add(frames: jax.Array, hop: int) -> jax.Array:
