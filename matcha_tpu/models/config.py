@@ -46,6 +46,7 @@ class DecoderConfig:
     num_mid_blocks: int = 2
     num_heads: int = 5
     act_fn: str = "snakebeta"
+    block_type: str = "transformer"  # "transformer" | "conformer"
 
     @property
     def num_downsamples(self) -> int:

@@ -177,6 +177,75 @@ class DecoderTransformerBlock(nn.Module):
         return x
 
 
+class ConformerBlock(nn.Module):
+    """Conformer alternative to the transformer block (reference:
+    decoder.py:163-199 wraps lucidrains' ConformerBlock; selectable via
+    DecoderConfig.block_type="conformer").
+
+    Structure: 0.5·FFN → MHSA → depthwise conv module → 0.5·FFN → LN.
+    """
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    ff_mult: int = 1
+    conv_expansion: int = 2
+    conv_kernel: int = 31
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool = True):
+        m = mask[..., None].astype(self.dtype)
+
+        def ffn(h, name):
+            h = nn.LayerNorm(name=f"{name}_norm", dtype=self.dtype)(h)
+            h = nn.Dense(self.dim * self.ff_mult * 4, name=f"{name}_in", dtype=self.dtype)(h)
+            h = nn.swish(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            return nn.Dense(self.dim, name=f"{name}_out", dtype=self.dtype)(h)
+
+        x = x + 0.5 * ffn(x, "ff1")
+
+        # MHSA
+        h = nn.LayerNorm(name="attn_norm", dtype=self.dtype)(x)
+        b, t, _ = h.shape
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, name="to_q", dtype=self.dtype)(h)
+        k = nn.Dense(inner, name="to_k", dtype=self.dtype)(h)
+        v = nn.Dense(inner, name="to_v", dtype=self.dtype)(h)
+
+        def split(y):
+            return y.reshape(b, t, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", split(q), split(k),
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(self.head_dim)
+        logits = jnp.where(mask[:, None, None, :] > 0, logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, split(v))
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
+        x = x + nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
+
+        # conv module: LN → pointwise glu → depthwise → swish → pointwise
+        h = nn.LayerNorm(name="conv_norm", dtype=self.dtype)(x)
+        h = nn.Dense(self.dim * self.conv_expansion * 2, name="conv_in", dtype=self.dtype)(h)
+        a, g = jnp.split(h, 2, axis=-1)
+        h = a * nn.sigmoid(g)
+        h = nn.Conv(
+            self.dim * self.conv_expansion, (self.conv_kernel,), padding="SAME",
+            feature_group_count=self.dim * self.conv_expansion,
+            name="conv_dw", dtype=self.dtype,
+        )(h * m)
+        h = nn.swish(h)
+        h = nn.Dense(self.dim, name="conv_out", dtype=self.dtype)(h)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+        x = x + 0.5 * ffn(x, "ff2")
+        return nn.LayerNorm(name="final_norm", dtype=self.dtype)(x)
+
+
 class Downsample1D(nn.Module):
     """Stride-2 conv halving the time axis. (reference: decoder.py:67-73)"""
 
@@ -237,8 +306,12 @@ class Decoder(nn.Module):
         h = jnp.concatenate([x, mu], axis=-1).astype(self.dtype)
 
         def run_blocks(h, m, stage, n):
+            block_cls = (
+                ConformerBlock if cfg.block_type == "conformer"
+                else DecoderTransformerBlock
+            )
             for bi in range(cfg.n_blocks):
-                h = DecoderTransformerBlock(
+                h = block_cls(
                     dim=n,
                     num_heads=cfg.num_heads,
                     head_dim=cfg.attention_head_dim,

@@ -166,6 +166,23 @@ class MatchaTTS(nn.Module):
             use_mu_prior=cfg.cfm.use_mu_prior,
         )
 
+        # abs-error quantile diagnostics, logged at epoch starts to tune the
+        # Huber thresholds (reference: matcha_tts.py:166-182)
+        qs = jnp.asarray([0.5, 0.9, 0.99])
+        dur_err = jnp.abs(logw - logw_target)
+        dur_err = jnp.where(x_mask > 0, dur_err, 0.0)
+        prior_err = jnp.abs(mu_y_fine - y_fine32) * y_fine_mask[..., None]
+        diagnostics = {
+            f"abs_error_quantiles/duration_{q}": v
+            for q, v in zip((0.5, 0.9, 0.99), jnp.quantile(dur_err, qs))
+        }
+        diagnostics.update(
+            {
+                f"abs_error_quantiles/prior_{q}": v
+                for q, v in zip((0.5, 0.9, 0.99), jnp.quantile(prior_err, qs))
+            }
+        )
+
         return {
             "diff_loss": diff_loss,
             "dur_loss": dur_loss,
@@ -173,6 +190,7 @@ class MatchaTTS(nn.Module):
             "loss": diff_loss + dur_loss + prior_loss,
             # diagnostics used for Huber-threshold tuning
             "mas_frames": jnp.sum(mas_durations * x_mask),
+            **diagnostics,
         }
 
     # ------------------------------------------------------------------

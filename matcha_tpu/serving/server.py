@@ -134,6 +134,10 @@ class TTSService:
             return (np.clip(result.wav, -1, 1) * 32767).astype("<i2").tobytes(), (
                 "audio/pcm"
             )
+        if fmt in ("ogg", "opus", "ogg_opus"):
+            from matcha_tpu.utils.opus_converter import waveform_to_opus_ogg
+
+            return waveform_to_opus_ogg(result.wav), "audio/ogg"
         from matcha_tpu.utils.mp3_converter import waveform_to_mp3
 
         return waveform_to_mp3(result.wav), "audio/mpeg"

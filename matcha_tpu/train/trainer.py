@@ -168,6 +168,12 @@ class Trainer:
 
     def fit(self, resume_from: str | None = None, max_steps: int | None = None):
         state = self.init_state(resume_from)
+        n_params = sum(
+            int(np.prod(np.asarray(l).shape))
+            for l in jax.tree_util.tree_leaves(state.params)
+        )
+        self.logger.log(int(state.step), {"model/params_total": n_params})
+        print(f"model parameters: {n_params/1e6:.2f} M")
         rng = jax.random.PRNGKey(self.cfg.seed)
         epoch = 0
         done = False
