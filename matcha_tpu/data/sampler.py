@@ -45,6 +45,8 @@ class BucketedBatchSampler:
         jitter: float = 0.15,
         seed: int = 0,
         stable_batch_count: bool = True,
+        geometric: bool = True,
+        geometric_step: float = 1.1,
     ):
         self.mel_lengths = list(mel_lengths)
         self.max_frames = max_frames_per_batch
@@ -53,7 +55,20 @@ class BucketedBatchSampler:
         self.seed = seed
         self.stable_batch_count = stable_batch_count
         self._target_batches: int | None = None
-        longest = round_up(max(self.mel_lengths), len_bucket)
+        # Geometric ladder caps the compile-cache size: padded lengths are
+        # quantized to ~geometric_step-spaced rungs (each still a multiple
+        # of len_bucket) instead of every len_bucket multiple — ~2x fewer
+        # distinct (B, T) programs for ~1-2% extra padding.
+        self.ladder: list[int] | None = None
+        if geometric:
+            rungs, v = [], float(len_bucket)
+            while v <= max_frames_per_batch:
+                rung = round_up(int(v), len_bucket)
+                if not rungs or rung > rungs[-1]:
+                    rungs.append(rung)
+                v *= geometric_step
+            self.ladder = rungs
+        longest = self.bucket_for(max(self.mel_lengths))
         if longest > max_frames_per_batch:
             raise ValueError(
                 f"Longest utterance ({longest} frames) exceeds the batch "
@@ -61,7 +76,13 @@ class BucketedBatchSampler:
             )
 
     def bucket_for(self, length: int) -> int:
-        return round_up(max(length, self.len_bucket), self.len_bucket)
+        quantized = round_up(max(length, self.len_bucket), self.len_bucket)
+        if self.ladder is None:
+            return quantized
+        for rung in self.ladder:
+            if quantized <= rung:
+                return rung
+        return quantized
 
     def batch_size_for(self, bucket_len: int) -> int:
         return max(1, self.max_frames // bucket_len)

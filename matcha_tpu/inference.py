@@ -132,6 +132,7 @@ class MatchaSynthesizer:
             fix_len_compatibility(b // 2) * 2 for b in mel_fine_buckets
         )
         self._encode_jit = jax.jit(self._encode)
+        self._vocode_jit = None
         self._decode_jit = jax.jit(
             self._decode, static_argnames=("y_fine_len", "n_timesteps", "solver")
         )
@@ -190,14 +191,20 @@ class MatchaSynthesizer:
         stats = self.cfg.data_statistics
         mel = denormalize(dec, stats.mel_mean, stats.mel_std)
         mel = mel * y_mask[..., None] + (1.0 - y_mask[..., None]) * stats.mel_mean
+        # encoder-only mel, for debug listening (reference: inference.py:174-183)
+        enc_mel = denormalize(mu_y, stats.mel_mean, stats.mel_std)
+        enc_mel = (
+            enc_mel * y_mask[..., None]
+            + (1.0 - y_mask[..., None]) * stats.mel_mean
+        )
 
         if vocos_params is None:
-            return mel, None
+            return mel, None, enc_mel
         wav = Vocos(self.vocos_cfg).apply({"params": vocos_params}, mel)
         # peak-normalize to 0.95 only when clipping (reference: inference.py:260-265)
         peak = jnp.max(jnp.abs(wav), axis=-1, keepdims=True)
         wav = jnp.where(peak > 1.0, wav / peak * 0.95, wav)
-        return mel, wav
+        return mel, wav, enc_mel
 
     # -- public -------------------------------------------------------------
 
@@ -211,6 +218,14 @@ class MatchaSynthesizer:
         enc = sum(w * enc_tab[i] for i, w in voice_mix)
         dur = sum(w * dur_tab[i] for i, w in voice_mix)
         return jnp.asarray(enc)[None], jnp.asarray(dur)[None]
+
+    def vocode(self, mel):
+        """Denormalized log-mel (B, T, n_mels) → waveform (host debug path)."""
+        if self._vocode_jit is None:
+            self._vocode_jit = jax.jit(
+                lambda p, m: Vocos(self.vocos_cfg).apply({"params": p}, m)
+            )
+        return self._vocode_jit(self.vocos_params, mel)
 
     def synthesise_ids(
         self,
@@ -249,7 +264,7 @@ class MatchaSynthesizer:
         y_fine_len = pick_bucket(total_fine, self.mel_fine_buckets)
         y_fine_lengths = jnp.asarray([total_fine], jnp.int32)
 
-        mel, wav = self._decode_jit(
+        mel, wav, enc_mel = self._decode_jit(
             self.params,
             self.vocos_params,
             mu_x,
@@ -274,7 +289,7 @@ class MatchaSynthesizer:
         )
         rtf = elapsed / max(audio_sec, 1e-9)
 
-        return SynthesisResult(
+        result = SynthesisResult(
             wav=wav_np,
             rtf=rtf,
             mel=mel_np if debug else None,
@@ -282,6 +297,10 @@ class MatchaSynthesizer:
             if debug
             else None,
         )
+        if debug and self.vocos_params is not None:
+            enc_wav = self.vocode(enc_mel[:, :n_frames])
+            result.encoder_wav = np.asarray(enc_wav[0])
+        return result
 
     def synthesise_batch(
         self,
@@ -329,7 +348,7 @@ class MatchaSynthesizer:
         totals = np.asarray(jnp.sum(durations, axis=1)).astype(int)
         totals = np.maximum(totals, 2)
         y_fine_len = pick_bucket(int(totals.max()), self.mel_fine_buckets)
-        mel, wav = self._decode_jit(
+        mel, wav, _ = self._decode_jit(
             self.params,
             self.vocos_params,
             mu_x,

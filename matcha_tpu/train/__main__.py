@@ -100,6 +100,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = compose(args.config, args.overrides)
+    from matcha_tpu.utils.print_config import print_config
+
+    print_config(cfg, title="matcha_tpu.train")
     trainer = build_trainer(cfg)
     trainer.fit(resume_from=cfg.get("ckpt_path"))
 
