@@ -8,7 +8,6 @@ dumps per-phoneme durations to TSV.
 from __future__ import annotations
 
 import argparse
-import struct
 import sys
 import wave
 from pathlib import Path

@@ -21,8 +21,7 @@ CPU exactly as in the reference — it is C-library, not accelerator, work.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Any, Sequence
 
 import jax

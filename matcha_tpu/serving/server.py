@@ -23,7 +23,6 @@ import io
 import json
 import os
 import re
-import struct
 import threading
 import time
 import wave

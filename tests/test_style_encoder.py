@@ -1,0 +1,72 @@
+"""StyleEncoder forward/loss tests (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matcha_tpu.models.config import tiny_config
+from matcha_tpu.models.matcha import init_params
+from matcha_tpu.models.style_encoder import (
+    StyleEncoder,
+    init_style_params,
+    style_encoder_loss,
+)
+from matcha_tpu.train.step import Batch
+
+CFG = tiny_config()
+
+
+def make_batch(b=2, tx=8, ty=10):
+    rng = np.random.default_rng(0)
+    return Batch(
+        x=jnp.asarray(rng.integers(0, 600, (b, tx)), jnp.int32),
+        x_lengths=jnp.full((b,), tx, jnp.int32),
+        y=jnp.asarray(rng.standard_normal((b, ty, CFG.n_feats)), jnp.float32),
+        y_lengths=jnp.full((b,), ty, jnp.int32),
+        y_fine=jnp.asarray(rng.standard_normal((b, 2 * ty, CFG.n_feats)), jnp.float32),
+        y_fine_lengths=jnp.full((b,), 2 * ty, jnp.int32),
+        spks=jnp.asarray([0, 1], jnp.int32),
+    )
+
+
+class TestStyleEncoder:
+    def test_forward_shapes(self):
+        params = init_style_params(CFG, jax.random.PRNGKey(0))
+        mel = jnp.zeros((3, 12, CFG.n_feats))
+        mask = jnp.ones((3, 12))
+        enc, dur = StyleEncoder(spk_emb_dim=CFG.spk_emb_dim).apply(
+            {"params": params}, mel, mask
+        )
+        assert enc.shape == (3, CFG.spk_emb_dim)
+        assert dur.shape == (3, CFG.spk_emb_dim)
+
+    def test_masked_pooling_ignores_padding(self):
+        params = init_style_params(CFG, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray(rng.standard_normal((1, 12, CFG.n_feats)), jnp.float32)
+        mask_short = jnp.asarray([[1.0] * 6 + [0.0] * 6])
+        # mutate the padding region — output must not change
+        mel2 = mel.at[:, 6:].set(99.0)
+        e1, _ = StyleEncoder(spk_emb_dim=CFG.spk_emb_dim).apply(
+            {"params": params}, mel, mask_short
+        )
+        e2, _ = StyleEncoder(spk_emb_dim=CFG.spk_emb_dim).apply(
+            {"params": params}, mel2, mask_short
+        )
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+
+    def test_loss_finite_and_trains_only_style(self):
+        matcha_params = init_params(CFG, jax.random.PRNGKey(0))
+        style_params = init_style_params(CFG, jax.random.PRNGKey(1))
+        batch = make_batch()
+
+        def loss_fn(sp):
+            loss, _ = style_encoder_loss(sp, matcha_params, CFG, batch)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(style_params)
+        assert np.isfinite(float(loss))
+        gnorm = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), grads, 0.0
+        )
+        assert gnorm > 0.0
