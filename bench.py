@@ -55,7 +55,7 @@ def main():
     y_fine_lengths = jnp.full((batch,), y_fine_len, jnp.int32)
 
     def run(mu_x):
-        mel, wav = synth._decode_jit(
+        mel, wav, _ = synth._decode_jit(
             synth.params,
             synth.vocos_params,
             mu_x,

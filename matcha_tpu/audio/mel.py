@@ -41,6 +41,10 @@ class MelConfig:
     f_min: float = 0.0
     f_max: float = 12000.0
     log_eps: float = 1e-7
+    # "htk" (Vocos-24k production) or "slaney" (the reference's legacy
+    # HiFiGAN-style extractor, matcha/utils/audio.py — librosa semantics:
+    # slaney scale + slaney area normalization)
+    mel_scale: str = "htk"
 
     @property
     def fine(self) -> "MelConfig":
@@ -62,25 +66,57 @@ def _mel_to_hz_htk(m: np.ndarray) -> np.ndarray:
     return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
 
 
+def _hz_to_mel_slaney(f):
+    f = np.asarray(f, dtype=np.float64)
+    mel = f / (200.0 / 3.0)
+    log_region = f >= 1000.0
+    mel = np.where(
+        log_region, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / np.log(6.4) * 27.0, mel
+    )
+    return mel
+
+
+def _mel_to_hz_slaney(m):
+    m = np.asarray(m, dtype=np.float64)
+    f = m * (200.0 / 3.0)
+    log_region = m >= 15.0
+    return np.where(log_region, 1000.0 * np.exp(np.log(6.4) / 27.0 * (m - 15.0)), f)
+
+
 @functools.lru_cache(maxsize=8)
 def mel_filterbank(
-    sample_rate: int, n_fft: int, n_mels: int, f_min: float, f_max: float
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    f_min: float,
+    f_max: float,
+    mel_scale: str = "htk",
 ) -> np.ndarray:
-    """(n_freqs, n_mels) HTK triangular filterbank, no area normalization.
+    """(n_freqs, n_mels) triangular filterbank.
 
-    Same construction as torchaudio ``melscale_fbanks(mel_scale='htk',
-    norm=None)``: FFT bin centres on a linear Hz grid, mel band edges on a
-    linear mel grid, triangles from the two slopes clamped at zero.
+    ``htk``: torchaudio ``melscale_fbanks(mel_scale='htk', norm=None)``
+    semantics — the Vocos-24k production basis.  ``slaney``: librosa-style
+    slaney scale with slaney (2/bandwidth) area normalization — the
+    reference's legacy HiFiGAN extractor (matcha/utils/audio.py:44-82).
     """
     n_freqs = n_fft // 2 + 1
     all_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
-    m_pts = np.linspace(_hz_to_mel_htk(f_min), _hz_to_mel_htk(f_max), n_mels + 2)
-    f_pts = _mel_to_hz_htk(m_pts)
+    if mel_scale == "htk":
+        to_mel, to_hz = _hz_to_mel_htk, _mel_to_hz_htk
+    elif mel_scale == "slaney":
+        to_mel, to_hz = _hz_to_mel_slaney, _mel_to_hz_slaney
+    else:
+        raise ValueError(f"Unknown mel_scale {mel_scale!r}")
+    m_pts = np.linspace(to_mel(f_min), to_mel(f_max), n_mels + 2)
+    f_pts = to_hz(m_pts)
     f_diff = f_pts[1:] - f_pts[:-1]  # (n_mels + 1,)
     slopes = f_pts[None, :] - all_freqs[:, None]  # (n_freqs, n_mels + 2)
     down = -slopes[:, :-2] / f_diff[:-1]
     up = slopes[:, 2:] / f_diff[1:]
     fb = np.maximum(0.0, np.minimum(down, up))
+    if mel_scale == "slaney":
+        enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+        fb *= enorm[None, :]
     return fb.astype(np.float32)
 
 
@@ -118,7 +154,10 @@ def log_mel_spectrogram(wav: jax.Array, cfg: MelConfig) -> jax.Array:
     wav = wav[..., :t]
     mag = stft_magnitude(wav, cfg)
     fb = jnp.asarray(
-        mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.f_min, cfg.f_max)
+        mel_filterbank(
+            cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.f_min, cfg.f_max,
+            cfg.mel_scale,
+        )
     )
     mel = jnp.einsum(
         "...tf,fm->...tm", mag, fb, preferred_element_type=jnp.float32

@@ -86,6 +86,8 @@ def main(argv=None):
             with open(out_dir / f"{name}_durations.tsv", "w") as f:
                 for i, d in enumerate(result.durations):
                     f.write(f"{i}\t{float(d):.2f}\n")
+        if args.debug and result.encoder_wav is not None:
+            write_wav(out_dir / f"{name}_encoder.wav", result.encoder_wav)
         voice = voice_by_id(spk)["name"] if spk < 15 else str(spk)
         print(f"[+] {name} ({voice}): {len(result.wav)/SAMPLE_RATE:.2f}s  RTF={result.rtf:.4f}")
 

@@ -47,7 +47,10 @@ class BucketedBatchSampler:
         stable_batch_count: bool = True,
         geometric: bool = True,
         geometric_step: float = 1.1,
+        batch_multiple: int = 1,
     ):
+        # every batch size is a multiple of this (e.g. the DP device count)
+        self.batch_multiple = max(1, batch_multiple)
         self.mel_lengths = list(mel_lengths)
         self.max_frames = max_frames_per_batch
         self.len_bucket = len_bucket
@@ -85,7 +88,12 @@ class BucketedBatchSampler:
         return quantized
 
     def batch_size_for(self, bucket_len: int) -> int:
-        return max(1, self.max_frames // bucket_len)
+        b = max(1, self.max_frames // bucket_len)
+        if b >= self.batch_multiple:
+            b -= b % self.batch_multiple
+        else:
+            b = self.batch_multiple  # small-batch case: pad up via repeats
+        return b
 
     def create_batches(self, epoch: int = 0) -> list[BucketPlan]:
         rng = random.Random(self.seed + epoch)

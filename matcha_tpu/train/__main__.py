@@ -104,7 +104,17 @@ def main(argv=None):
 
     print_config(cfg, title="matcha_tpu.train")
     trainer = build_trainer(cfg)
-    trainer.fit(resume_from=cfg.get("ckpt_path"))
+    try:
+        trainer.fit(resume_from=cfg.get("ckpt_path"))
+    except Exception:
+        # task-wrapper behaviour: persist the traceback next to the run logs
+        # before propagating (reference: matcha/utils/utils.py:52-104)
+        import traceback
+
+        log_path = Path(trainer.cfg.output_dir) / "crash.log"
+        log_path.parent.mkdir(parents=True, exist_ok=True)
+        log_path.write_text(traceback.format_exc())
+        raise
 
 
 if __name__ == "__main__":

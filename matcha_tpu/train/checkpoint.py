@@ -54,12 +54,26 @@ def save_checkpoint(path: str | Path, tree: dict, cfg: MatchaConfig) -> None:
     (path / "config.json").write_text(json.dumps(cfg.to_dict(), indent=2))
 
 
-def load_checkpoint(path: str | Path) -> tuple[dict, MatchaConfig]:
+def load_checkpoint(
+    path: str | Path, target: dict | None = None
+) -> tuple[dict, MatchaConfig]:
+    """Restore a checkpoint directory.
+
+    ``target`` (optional) is a pytree template: orbax stores nested
+    containers as plain dicts, so restoring optimizer state that must keep
+    its optax NamedTuple structure requires the template (Trainer passes a
+    freshly-initialized state).
+    """
     path = Path(path).absolute()
     cfg = MatchaConfig.from_dict(json.loads((path / "config.json").read_text()))
     if (path / "state").exists() and _HAS_ORBAX:
         ckptr = ocp.StandardCheckpointer()
-        tree = ckptr.restore(path / "state")
+        if target is not None:
+            tree = ckptr.restore(
+                path / "state", jax.tree.map(np.asarray, target)
+            )
+        else:
+            tree = ckptr.restore(path / "state")
     else:
         raise FileNotFoundError(f"No checkpoint state under {path}")
     return tree, cfg

@@ -89,12 +89,17 @@ class Trainer:
         self.valid_ds = valid_dataset
         self.text_bucket = text_bucket
 
+        self.mesh = make_mesh() if trainer_cfg.use_mesh else None
+        # DP requires every batch divisible by the device count
+        batch_multiple = len(self.mesh.devices.flatten()) if self.mesh else 1
+
         lengths = [train_dataset.mel_length(i) for i in range(len(train_dataset))]
         self.sampler = BucketedBatchSampler(
             lengths,
             max_frames_per_batch=max_frames_per_batch,
             len_bucket=len_bucket,
             seed=trainer_cfg.seed,
+            batch_multiple=batch_multiple,
         )
         if valid_dataset is not None and len(valid_dataset):
             v_lengths = [
@@ -106,11 +111,10 @@ class Trainer:
                 len_bucket=len_bucket,
                 jitter=0.0,
                 seed=trainer_cfg.seed,
+                batch_multiple=batch_multiple,
             )
         else:
             self.valid_sampler = None
-
-        self.mesh = make_mesh() if trainer_cfg.use_mesh else None
         self.tx = build_optimizer(opt_cfg, trainable_mask=trainable_mask)
         self.train_step, self.eval_step = make_train_step(
             model_cfg, self.tx, mesh=self.mesh
@@ -130,6 +134,7 @@ class Trainer:
             max_frames_per_batch=self.sampler.max_frames,
             len_bucket=self.sampler.len_bucket,
             seed=self.cfg.seed,
+            batch_multiple=self.sampler.batch_multiple,
         )
         if valid_dataset is not None and len(valid_dataset):
             v_lengths = [
@@ -141,21 +146,29 @@ class Trainer:
                 len_bucket=self.sampler.len_bucket,
                 jitter=0.0,
                 seed=self.cfg.seed,
+                batch_multiple=self.sampler.batch_multiple,
             )
         else:
             self.valid_sampler = None
 
     def init_state(self, resume_from: str | None = None) -> TrainState:
+        state = init_train_state(
+            self.model_cfg, self.tx, jax.random.PRNGKey(self.cfg.seed)
+        )
         if resume_from:
-            tree, _ = load_checkpoint(resume_from)
+            # restore with the fresh state as the structure template so the
+            # optax NamedTuple containers survive the round-trip
+            template = {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": 0,
+                "epoch": 0,
+            }
+            tree, _ = load_checkpoint(resume_from, target=template)
             state = TrainState(
                 params=tree["params"],
                 opt_state=tree["opt_state"],
-                step=np.asarray(tree["step"], np.int32),
-            )
-        else:
-            state = init_train_state(
-                self.model_cfg, self.tx, jax.random.PRNGKey(self.cfg.seed)
+                step=jax.numpy.asarray(tree["step"], jax.numpy.int32),
             )
         if self.mesh is not None:
             state = replicate(self.mesh, state)

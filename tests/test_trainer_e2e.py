@@ -1,0 +1,95 @@
+"""End-to-end Trainer test: synthetic corpus → fit → checkpoint → resume."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from matcha_tpu.data.dataset import TextMelDataset
+from matcha_tpu.models.config import tiny_config
+from matcha_tpu.train.optim import OptimizerConfig
+from matcha_tpu.train.trainer import Trainer, TrainerConfig
+
+CFG = tiny_config()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traincorpus")
+    mel_dir = root / "mels"
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(12):
+        rel = f"s/u{i}"
+        frames = int(rng.integers(12, 40))
+        (mel_dir / "s").mkdir(parents=True, exist_ok=True)
+        np.save(
+            mel_dir / f"{rel}.npy",
+            rng.standard_normal((CFG.n_feats, frames)).astype(np.float32),
+        )
+        np.save(
+            mel_dir / f"{rel}.fine.npy",
+            rng.standard_normal((CFG.n_feats, 2 * frames)).astype(np.float32),
+        )
+        ids = " ".join(str(v) for v in rng.integers(0, 600, rng.integers(5, 15)))
+        rows.append(f"{rel}|{i % CFG.n_spks}|en-us|text {i}|{ids}")
+    filelist = root / "train.csv"
+    filelist.write_text("\n".join(rows))
+    return root, filelist, mel_dir
+
+
+def make_trainer(corpus, out_name, **overrides):
+    root, filelist, mel_dir = corpus
+    ds = TextMelDataset(filelist, mel_dir)
+    tcfg = TrainerConfig(
+        output_dir=str(root / out_name),
+        max_epochs=overrides.pop("max_epochs", 2),
+        check_val_every_n_epoch=1,
+        checkpoint_every_n_epochs=1,
+        keep_last_checkpoints=2,
+        log_every_n_steps=1,
+        use_mesh=overrides.pop("use_mesh", False),
+    )
+    return Trainer(
+        model_cfg=CFG,
+        opt_cfg=OptimizerConfig(lr=1e-3),
+        trainer_cfg=tcfg,
+        train_dataset=ds,
+        valid_dataset=ds,
+        max_frames_per_batch=256,
+        len_bucket=16,
+        text_bucket=16,
+        **overrides,
+    )
+
+
+class TestTrainerEndToEnd:
+    def test_fit_checkpoints_and_metrics(self, corpus):
+        root, _, _ = corpus
+        trainer = make_trainer(corpus, "run1")
+        state = trainer.fit()
+        assert int(state.step) > 0
+
+        ckpts = sorted((root / "run1" / "checkpoints").glob("epoch_*"))
+        assert 1 <= len(ckpts) <= 2  # keep-last pruning
+        metrics = [
+            json.loads(line)
+            for line in open(root / "run1" / "metrics.jsonl")
+        ]
+        keys = set().union(*(m.keys() for m in metrics))
+        assert "loss/train_epoch" in keys
+        assert "loss/val" in keys
+        assert "model/params_total" in keys
+
+    def test_resume_from_checkpoint(self, corpus):
+        root, _, _ = corpus
+        ckpt = sorted((root / "run1" / "checkpoints").glob("epoch_*"))[-1]
+        trainer = make_trainer(corpus, "run2", max_epochs=1)
+        state = trainer.fit(resume_from=str(ckpt))
+        assert int(state.step) > 0
+
+    def test_mesh_training(self, corpus):
+        trainer = make_trainer(corpus, "run3", use_mesh=True, max_epochs=1)
+        state = trainer.fit()
+        assert int(state.step) > 0
