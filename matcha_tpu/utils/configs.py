@@ -55,11 +55,21 @@ def get_dotted(cfg: dict, dotted: str) -> Any:
 
 
 def parse_override(token: str) -> tuple[str, Any]:
-    """``a.b=value`` with YAML-typed parsing of the value."""
+    """``a.b=value`` with YAML-typed parsing of the value.
+
+    YAML 1.1 doesn't treat ``1e-4`` as a float (needs ``1.0e-4``), but it is
+    the natural CLI spelling — coerce numeric-looking strings explicitly.
+    """
     if "=" not in token:
         raise ValueError(f"Override {token!r} must look like key=value")
     key, raw = token.split("=", 1)
-    return key.strip(), yaml.safe_load(raw)
+    value = yaml.safe_load(raw)
+    if isinstance(value, str):
+        try:
+            value = float(value)
+        except ValueError:
+            pass
+    return key.strip(), value
 
 
 def resolve_interpolations(cfg: dict) -> dict:
