@@ -42,8 +42,10 @@ def main():
     vocos_params = init_vocos_params(jax.random.PRNGKey(1), vocos_cfg)
     synth = MatchaSynthesizer(cfg, params, vocos_params, vocos_cfg)
 
-    # serving-realistic batch: B utterances x ~5.4 s each
-    batch, tx, y_fine_len = 8, 256, 1024
+    # serving-realistic batch: B utterances x ~5.4 s each (scaling probe on
+    # v5e: B=8 -> RTF 0.0013, B=16 -> 0.00086, B=32 -> 0.0008; B=16 is the
+    # knee and matches plausible concurrent-request load)
+    batch, tx, y_fine_len = 16, 256, 1024
     rng = np.random.default_rng(0)
     iters = 10
     mu_x_all = [
