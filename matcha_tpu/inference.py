@@ -119,8 +119,19 @@ class MatchaSynthesizer:
         vocos_cfg: VocosConfig = VocosConfig(),
         text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
         mel_fine_buckets: Sequence[int] = DEFAULT_MEL_FINE_BUCKETS,
+        mesh=None,
     ):
+        """``mesh``: optional jax Mesh for multi-chip batch fan-out — batched
+        requests are sharded over the ``data`` axis (params replicated), so
+        a v5e-8 host serves 8x the batch at single-chip latency."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from matcha_tpu.parallel.mesh import replicate
+
+            params = replicate(mesh, params)
+            if vocos_params is not None:
+                vocos_params = replicate(mesh, vocos_params)
         self.params = params
         self.model = MatchaTTS(cfg)
         self.vocos_cfg = vocos_cfg
@@ -320,11 +331,16 @@ class MatchaSynthesizer:
         assert b == len(speakers)
         length_scales = length_scales or [1.0] * b
 
+        # multi-chip fan-out: pad the batch to a device multiple and shard it
+        n_dev = len(self.mesh.devices.flatten()) if self.mesh is not None else 1
+        b_pad = -(-b // n_dev) * n_dev
         tx = pick_bucket(max(len(ids) for ids in id_lists), self.text_buckets)
-        x = np.zeros((b, tx), np.int32)
+        x = np.zeros((b_pad, tx), np.int32)
         for k, ids in enumerate(id_lists):
             x[k, : len(ids)] = ids
-        x_lengths = jnp.asarray([len(ids) for ids in id_lists], jnp.int32)
+        x_lengths = jnp.asarray(
+            [len(ids) for ids in id_lists] + [1] * (b_pad - b), jnp.int32
+        )
 
         enc_rows, dur_rows, scales = [], [], []
         for k, spk in enumerate(speakers):
@@ -336,13 +352,25 @@ class MatchaSynthesizer:
             except KeyError:
                 sc = 1.0
             scales.append(sc * length_scales[k])
+        pad_rows = b_pad - b
+        if pad_rows:
+            enc_rows.extend([enc_rows[0]] * pad_rows)
+            dur_rows.extend([dur_rows[0]] * pad_rows)
+            scales.extend([1.0] * pad_rows)
         spk_enc = jnp.stack(enc_rows)
         spk_dur = jnp.stack(dur_rows)
         # per-sample duration scale: broadcast over tokens inside _encode
         scale = jnp.asarray(scales, jnp.float32)[:, None]
 
+        x_dev = jnp.asarray(x)
+        if self.mesh is not None:
+            from matcha_tpu.parallel.mesh import shard_batch
+
+            x_dev, x_lengths, spk_enc, spk_dur, scale = shard_batch(
+                self.mesh, (x_dev, x_lengths, spk_enc, spk_dur, scale)
+            )
         mu_x, durations, x_mask = self._encode_jit(
-            self.params, jnp.asarray(x), x_lengths, spk_enc, spk_dur, scale
+            self.params, x_dev, x_lengths, spk_enc, spk_dur, scale
         )
         totals = np.asarray(jnp.sum(durations, axis=1)).astype(int)
         totals = np.maximum(totals, 2)

@@ -84,9 +84,10 @@ class TTSService:
 
     def speak(self, body: dict) -> tuple[bytes, str]:
         text = body.get("input", "")
-        if not text:
+        ids = body.get("phoneme_ids")  # pretokenized path: skips eSpeak
+        if not text and not ids:
             raise ValueError("empty input")
-        if len(text) > MAX_TEXT_LENGTH:
+        if text and len(text) > MAX_TEXT_LENGTH:
             raise ValueError(f"input exceeds {MAX_TEXT_LENGTH} characters")
         voice_mix = parse_voice(body.get("voice", "0"))
         speed = float(body.get("speed", 1.0))
@@ -95,16 +96,21 @@ class TTSService:
         solver = body.get("solver", "midpoint")
         fmt = body.get("response_format", "mp3")
 
-        from matcha_tpu.inference import voice_by_id
-        from matcha_tpu.text.phonemizers import (
-            emphasize_intonation_marks,
-            multilingual_phonemizer,
-        )
+        if ids is None:
+            from matcha_tpu.inference import voice_by_id
+            from matcha_tpu.text.phonemizers import (
+                emphasize_intonation_marks,
+                multilingual_phonemizer,
+            )
 
-        language = voice_by_id(voice_mix[0][0])["lang"]
-        _, ids = multilingual_phonemizer(
-            emphasize_intonation_marks(text), language
-        )
+            language = voice_by_id(voice_mix[0][0])["lang"]
+            _, ids = multilingual_phonemizer(
+                emphasize_intonation_marks(text), language
+            )
+        else:
+            ids = [int(i) for i in ids]
+            if not all(0 <= i < 600 for i in ids):
+                raise ValueError("phoneme_ids out of range")
 
         t0 = time.perf_counter()
         if self.batcher is not None and len(voice_mix) == 1:

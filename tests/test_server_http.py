@@ -1,0 +1,114 @@
+"""HTTP server integration test: real socket round-trips against a tiny model."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import numpy as np
+import pytest
+
+from matcha_tpu.inference import MatchaSynthesizer
+from matcha_tpu.models.config import tiny_config
+from matcha_tpu.models.matcha import init_params
+from matcha_tpu.serving.server import TTSService, make_handler
+from matcha_tpu.vocoder.vocos import VocosConfig, init_vocos_params
+
+CFG = tiny_config()
+VCFG = VocosConfig(input_channels=CFG.n_feats, dim=32, intermediate_dim=64, num_layers=1)
+
+
+@pytest.fixture(scope="module")
+def server():
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    vocos_params = init_vocos_params(jax.random.PRNGKey(1), VCFG)
+    synth = MatchaSynthesizer(
+        CFG, params, vocos_params, VCFG,
+        text_buckets=(16, 32), mel_fine_buckets=(64, 128, 256),
+    )
+    service = TTSService(synth, use_batcher=True)
+    service.ready = True  # skip warmup (tiny model compiles on demand)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}", service
+    httpd.shutdown()
+    if service.batcher:
+        service.batcher.shutdown()
+
+
+def post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+class TestHttpServer:
+    def test_health(self, server):
+        base, _ = server
+        with urllib.request.urlopen(f"{base}/health") as resp:
+            assert resp.status == 200
+
+    def test_speech_pretokenized_wav(self, server):
+        base, _ = server
+        ids = list(np.random.default_rng(0).integers(0, 600, 10))
+        status, ctype, audio = post(
+            f"{base}/v1/audio/speech",
+            {"phoneme_ids": [int(i) for i in ids], "voice": "0",
+             "response_format": "wav", "steps": 2},
+        )
+        assert status == 200
+        assert ctype == "audio/wav"
+        assert audio[:4] == b"RIFF"
+
+    def test_alias_path_mp3(self, server):
+        base, _ = server
+        ids = list(np.random.default_rng(1).integers(0, 600, 8))
+        status, ctype, audio = post(
+            f"{base}/tts",
+            {"phoneme_ids": [int(i) for i in ids], "voice": "1", "steps": 2},
+        )
+        assert status == 200
+        assert ctype == "audio/mpeg"
+        assert audio[0] == 0xFF
+
+    def test_voice_mix_request(self, server):
+        base, _ = server
+        ids = list(np.random.default_rng(2).integers(0, 600, 8))
+        status, _, audio = post(
+            f"{base}/v1/audio/speech",
+            {"phoneme_ids": [int(i) for i in ids], "voice": "0(60)+1(40)",
+             "response_format": "pcm", "steps": 2},
+        )
+        assert status == 200
+        assert len(audio) > 0
+
+    def test_empty_input_400(self, server):
+        base, _ = server
+        try:
+            post(f"{base}/v1/audio/speech", {"input": ""})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+
+    def test_bad_ids_400(self, server):
+        base, _ = server
+        try:
+            post(f"{base}/v1/audio/speech", {"phoneme_ids": [9999]})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+
+    def test_unknown_path_404(self, server):
+        base, _ = server
+        try:
+            post(f"{base}/nope", {"input": "x"})
+            assert False
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 404
