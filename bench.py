@@ -25,6 +25,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: repeated bench runs skip the multi-minute
+# first-compile (safe no-op if unsupported by the backend)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 
 def main():
     import dataclasses

@@ -50,7 +50,7 @@ def collate(
     if use_native:
         coarse_paths = [dataset.mel_paths(i)[0] for i in plan.indices]
         fine_paths = [dataset.mel_paths(i)[1] for i in plan.indices]
-        n_feats = int(np.load(coarse_paths[0], mmap_mode="r").shape[0])
+        n_feats = dataset.n_feats
         y, y_lengths = native_loader.fill_batch(coarse_paths, ty, n_feats)
         y_fine, y_fine_lengths = native_loader.fill_batch(
             fine_paths, 2 * ty, n_feats

@@ -53,9 +53,25 @@ def parse_filelist(path: str | Path, require_ids: bool = True) -> list[list[str]
 class TextMelDataset:
     """Index-addressable corpus view over precomputed mels."""
 
-    def __init__(self, filelist_path: str | Path, mel_dir: str | Path):
+    def __init__(
+        self,
+        filelist_path: str | Path,
+        mel_dir: str | Path,
+        n_feats: int | None = None,
+    ):
         self.mel_dir = Path(mel_dir)
         self.rows = parse_filelist(filelist_path)
+        if n_feats is None:
+            # the precompute tool writes the channel count to metadata.json;
+            # fall back to the production default
+            meta = self.mel_dir / "metadata.json"
+            if meta.exists():
+                import json
+
+                n_feats = int(json.loads(meta.read_text()).get("n_mels", 100))
+            else:
+                n_feats = 100
+        self.n_feats = n_feats
 
     def __len__(self) -> int:
         return len(self.rows)
@@ -84,7 +100,10 @@ class TextMelDataset:
         with open(coarse, "rb") as f:
             version = np.lib.format.read_magic(f)
             shape, _, _ = np.lib.format._read_array_header(f, version)
-        return shape[-1] if len(shape) == 2 else shape[0]
+        if len(shape) != 2:
+            return shape[0]
+        # caches are (n_mels, T) channel-major; tolerate time-major too
+        return shape[1] if shape[0] == self.n_feats else shape[0]
 
     def __getitem__(self, index: int) -> dict:
         utt = self.utterance(index)
@@ -93,8 +112,9 @@ class TextMelDataset:
         y_fine = np.load(fine_path).astype(np.float32)
         if y.ndim != 2 or y_fine.ndim != 2:
             raise ValueError(f"Bad mel cache for {utt.rel_path}")
-        # channel-major caches → time-major
-        if y.shape[0] < y.shape[1]:
+        # channel-major caches → time-major (decided by the known channel
+        # count, NOT by which dim is smaller — short clips can have T < C)
+        if y.shape[0] == self.n_feats:
             y, y_fine = y.T, y_fine.T
         return {
             "x": utt.phoneme_ids,
@@ -109,5 +129,6 @@ class TextMelDataset:
         reference: matcha/finetune_speaker.py:48-55)."""
         out = TextMelDataset.__new__(TextMelDataset)
         out.mel_dir = self.mel_dir
+        out.n_feats = self.n_feats
         out.rows = [r for r in self.rows if int(r[1]) == speaker]
         return out

@@ -33,6 +33,7 @@ def corpus(tmp_path_factory):
         )
         ids = " ".join(str(int(v)) for v in rng.integers(0, 600, rng.integers(5, 30)))
         rows.append(f"{rel}|{i % 3}|en-us|hello world|{ids}")
+    (mel_dir / "metadata.json").write_text('{"n_mels": %d}' % N_FEATS)
     filelist = root / "train.csv"
     filelist.write_text("\n".join(rows))
     return filelist, mel_dir

@@ -69,6 +69,7 @@ class TestFillBatch:
             np.save(mel_dir / f"{rel}.fine.npy", rng.standard_normal((8, 2 * frames)).astype(np.float32))
             ids = " ".join(str(v) for v in rng.integers(0, 600, 12))
             rows.append(f"{rel}|0|en-us|text|{ids}")
+        (mel_dir / "metadata.json").write_text('{"n_mels": 8}')
         filelist = tmp_path / "fl.csv"
         filelist.write_text("\n".join(rows))
         ds = TextMelDataset(filelist, mel_dir)

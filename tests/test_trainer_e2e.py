@@ -34,6 +34,7 @@ def corpus(tmp_path_factory):
         )
         ids = " ".join(str(v) for v in rng.integers(0, 600, rng.integers(5, 15)))
         rows.append(f"{rel}|{i % CFG.n_spks}|en-us|text {i}|{ids}")
+    (mel_dir / "metadata.json").write_text('{"n_mels": %d}' % CFG.n_feats)
     filelist = root / "train.csv"
     filelist.write_text("\n".join(rows))
     return root, filelist, mel_dir
