@@ -193,6 +193,17 @@ def make_handler(service: TTSService):
 
 
 def main():
+    import jax
+
+    try:  # persistent compilation cache: warm restarts skip recompiles
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     ckpt = os.environ.get("CHECKPOINT_PATH")
     if not ckpt:
         raise SystemExit("Set CHECKPOINT_PATH to a checkpoint directory")

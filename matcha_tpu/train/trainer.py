@@ -89,6 +89,11 @@ class Trainer:
         self.valid_ds = valid_dataset
         self.text_bucket = text_bucket
 
+        try:  # persistent compilation cache across runs
+            jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
         self.mesh = make_mesh() if trainer_cfg.use_mesh else None
         # DP requires every batch divisible by the device count
         batch_multiple = len(self.mesh.devices.flatten()) if self.mesh else 1
