@@ -15,7 +15,6 @@ import argparse
 import pickle
 from pathlib import Path
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

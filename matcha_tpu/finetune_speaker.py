@@ -19,7 +19,6 @@ import argparse
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from matcha_tpu.train.__main__ import build_trainer
 from matcha_tpu.utils.configs import compose

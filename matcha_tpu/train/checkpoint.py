@@ -18,10 +18,8 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from matcha_tpu.models.config import MatchaConfig
