@@ -87,10 +87,14 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
 
+    error: list[BaseException] = []
+
     def worker():
         try:
             for item in iterator:
                 q.put(item)
+        except BaseException as exc:  # propagate to the consumer
+            error.append(exc)
         finally:
             q.put(sentinel)
 
@@ -98,6 +102,8 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     while True:
         item = q.get()
         if item is sentinel:
+            if error:
+                raise error[0]
             return
         yield item
 

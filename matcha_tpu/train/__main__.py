@@ -33,6 +33,7 @@ def build_model_config(cfg: dict) -> MatchaConfig:
         n_spks=int(m.get("n_spks", base.n_spks)),
         n_feats=int(m.get("n_feats", base.n_feats)),
         spk_emb_dim=int(m.get("spk_emb_dim", base.spk_emb_dim)),
+        compute_dtype=str(m.get("compute_dtype", base.compute_dtype)),
         prior_loss=bool(m.get("prior_loss", base.prior_loss)),
         prior_loss_threshold=float(
             m.get("prior_loss_threshold", base.prior_loss_threshold)
@@ -92,7 +93,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Train MatchaTTS-24k on TPU")
     parser.add_argument(
         "--config",
-        default=str(Path(__file__).resolve().parent.parent / "configs" / "train.yaml"),
+        default=str(
+            Path(__file__).resolve().parent.parent.parent / "configs" / "train.yaml"
+        ),
     )
     parser.add_argument(
         "overrides", nargs="*", help="dotted overrides, e.g. optimizer.lr=1e-4"

@@ -39,8 +39,10 @@ def extract_pair(
     w = jnp.asarray(wav[:t])
     coarse = log_mel_spectrogram(w, cfg)
     fine = log_mel_spectrogram(w, cfg.fine)
-    coarse = np.asarray(normalize(coarse, mel_mean, mel_std)).T
-    fine = np.asarray(normalize(fine, mel_mean, mel_std)).T
+    # ascontiguousarray: np.save would otherwise store the transpose view
+    # Fortran-ordered, breaking C-order cache consumers
+    coarse = np.ascontiguousarray(np.asarray(normalize(coarse, mel_mean, mel_std)).T)
+    fine = np.ascontiguousarray(np.asarray(normalize(fine, mel_mean, mel_std)).T)
     return coarse.astype(np.float32), fine.astype(np.float32)
 
 

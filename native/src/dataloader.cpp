@@ -98,11 +98,28 @@ static long load_one(const char* path, float* out, long t_pad, long n_mels) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   NpyInfo info = parse_npy_header(f);
-  if (!info.ok || info.fortran) {
+  if (!info.ok) {
     fclose(f);
     return -2;
   }
   long mels = info.rows, frames = info.cols;
+  if (info.fortran && mels == n_mels) {
+    // F-order (n_mels, T) is byte-identical to C-order (T, n_mels):
+    // the data is already time-major — direct copy
+    long t = frames < t_pad ? frames : t_pad;
+    std::vector<float> buf((size_t)t * n_mels);
+    if (fread(buf.data(), 4, buf.size(), f) != buf.size()) {
+      fclose(f);
+      return -3;
+    }
+    memcpy(out, buf.data(), (size_t)t * n_mels * 4);
+    fclose(f);
+    return t;
+  }
+  if (info.fortran) {
+    fclose(f);
+    return -2;
+  }
   if (mels != n_mels) {  // maybe stored time-major already
     if (frames == n_mels) {
       // (T, n_mels) C-order: rows are frames — direct strided copy

@@ -47,6 +47,18 @@ class TestFillBatch:
             np.testing.assert_array_equal(batch[k, :t], a.T)
             np.testing.assert_array_equal(batch[k, t:], 0.0)
 
+    def test_fortran_order_cache(self, tmp_path):
+        # np.save of a transposed view writes Fortran order; the loader must
+        # read it as time-major directly (regression: smoke-train failure)
+        rng = np.random.default_rng(3)
+        a = rng.standard_normal((8, 21)).astype(np.float32)  # (n_mels, T)
+        p = tmp_path / "f.npy"
+        np.save(p, np.asarray(a.T.T, order="F"))
+        assert native_loader.mel_length(p) == 21
+        batch, lens = native_loader.fill_batch([p], 30, 8)
+        assert lens[0] == 21
+        np.testing.assert_array_equal(batch[0, :21], a.T)
+
     def test_truncates_to_pad(self, caches):
         paths, arrays = caches
         batch, lens = native_loader.fill_batch(paths, 20, 8)
