@@ -70,6 +70,9 @@ def build_trainer(cfg: dict, trainable_mask=None) -> Trainer:
             b2=float(opt.get("b2", 0.99)),
             eps=float(opt.get("eps", 1e-8)),
             grad_clip=float(opt.get("grad_clip", 4.0)),
+            accumulate_grad_batches=int(
+                tr.get("accumulate_grad_batches", 1)
+            ),
         ),
         trainer_cfg=TrainerConfig(
             output_dir=cfg.get("paths", {}).get("output_dir", "logs/train/run"),

@@ -26,6 +26,11 @@ class OptimizerConfig:
     b2: float = 0.99
     eps: float = 1e-8
     grad_clip: float = 4.0
+    # apply the update every N steps, averaging gradients in between
+    # (reference: accumulate_grad_batches, configs/trainer/default.yaml:29)
+    accumulate_grad_batches: int = 1
+    # skip updates on non-finite gradients instead of corrupting the state
+    skip_nonfinite_updates: bool = True
 
 
 def decay_mask(params) -> dict:
@@ -65,4 +70,10 @@ def build_optimizer(
                 jax.tree.map(lambda m: not m, trainable_mask),
             ),
         )
+    if cfg.skip_nonfinite_updates:
+        # a NaN/Inf batch becomes a no-op step instead of poisoning params
+        # (failure containment the reference lacks; SURVEY.md §5)
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10)
+    if cfg.accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_grad_batches)
     return tx

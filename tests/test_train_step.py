@@ -155,3 +155,40 @@ class TestCheckpointSurgery:
         np.testing.assert_array_equal(
             out["params"]["speaker_embeddings_enc"]["embedding"][1], src_row
         )
+
+
+class TestOptimizerFeatures:
+    def test_grad_accumulation(self):
+        import optax
+
+        from matcha_tpu.models.matcha import init_params
+
+        cfg = OptimizerConfig(lr=1e-3, accumulate_grad_batches=2)
+        tx = build_optimizer(cfg)
+        params = init_params(CFG, jax.random.PRNGKey(0))
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        # first micro-step: accumulation only, no update applied
+        updates, state = tx.update(grads, state, params)
+        assert float(optax.global_norm(updates)) == 0.0
+        # second micro-step: the averaged update lands
+        updates, state = tx.update(grads, state, params)
+        assert float(optax.global_norm(updates)) > 0.0
+
+    def test_nonfinite_grads_are_skipped(self):
+        import optax
+
+        from matcha_tpu.models.matcha import init_params
+
+        tx = build_optimizer(OptimizerConfig(lr=1e-3))
+        params = init_params(CFG, jax.random.PRNGKey(0))
+        state = tx.init(params)
+        bad = jax.tree.map(lambda p: jnp.full_like(p, jnp.nan), params)
+        updates, state = tx.update(bad, state, params)
+        assert float(optax.global_norm(updates)) == 0.0  # no-op step
+        good = jax.tree.map(jnp.ones_like, params)
+        updates, state = tx.update(good, state, params)
+        assert float(optax.global_norm(updates)) > 0.0
+        assert np.isfinite(
+            np.asarray(jax.tree_util.tree_leaves(updates)[0])
+        ).all()
