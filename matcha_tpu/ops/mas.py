@@ -135,3 +135,84 @@ def maximum_path(
     t_x = value.shape[1]
     path = jax.nn.one_hot(idx, t_x, dtype=jnp.float32)  # (B, Ty, Tx)
     return jnp.transpose(path, (0, 2, 1))
+
+
+# ---------------------------------------------------------------------------
+# segment-DP formulation: scan over TOKENS instead of frames
+# ---------------------------------------------------------------------------
+
+def _cummax_with_arg(h: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Cumulative (max, argmax) along axis 1 of (B, Ty), log-depth."""
+    t_y = h.shape[1]
+    idx = jnp.broadcast_to(jnp.arange(t_y, dtype=jnp.int32)[None, :], h.shape)
+
+    def combine(left, right):
+        lm, la = left
+        rm, ra = right
+        take_r = rm >= lm
+        return jnp.where(take_r, rm, lm), jnp.where(take_r, ra, la)
+
+    return jax.lax.associative_scan(combine, (h, idx), axis=1)
+
+
+@jax.jit
+def maximum_path_durations(
+    value: jax.Array, x_lengths: jax.Array, y_lengths: jax.Array
+) -> jax.Array:
+    """Batched MAS returning per-token durations, via a segment DP.
+
+    Equivalent optimum to `maximum_path_indices` but with 2·Tx sequential
+    steps instead of 2·Ty: let e[i][j] be the best score with token i ending
+    exactly at frame j and R[i] the per-token prefix sums; then
+
+        e[i] = R[i] + shift1( cummax_j( e[i-1] - R[i] ) )
+
+    where the cummax (with argmax, for backtracking) is a log-depth
+    `associative_scan` over frames — fully vectorized.  For speech, Tx is
+    typically 4x smaller than the fine-resolution Ty, so the wall-clock of
+    the sequential wavefront drops accordingly (ties may resolve to a
+    different — equally optimal — path than the frame DP).
+
+    Returns:
+        (B, Tx) int32 frame counts per token (0 on padding tokens).
+    """
+    value = value.astype(jnp.float32)
+    b, t_x, t_y = value.shape
+    x_lengths = x_lengths.astype(jnp.int32)
+    y_lengths = y_lengths.astype(jnp.int32)
+
+    prefix = jnp.cumsum(value, axis=2)  # R[i, j] = sum_{t<=j} value[i, t]
+    e0 = prefix[:, 0, :]  # token 0 ends at j
+
+    def fwd(e_prev, r_i):
+        h = e_prev - r_i
+        cm, am = _cummax_with_arg(h)
+        cm = jnp.pad(cm[:, :-1], ((0, 0), (1, 0)), constant_values=NEG_INF)
+        am = jnp.pad(am[:, :-1], ((0, 0), (1, 0)))
+        return r_i + cm, am
+
+    r_rows = jnp.moveaxis(prefix[:, 1:, :], 1, 0)  # (Tx-1, B, Ty)
+    _, args = jax.lax.scan(fwd, e0, r_rows)  # args: (Tx-1, B, Ty) int32
+    args = jnp.concatenate([jnp.zeros((1, b, t_y), jnp.int32), args], axis=0)
+
+    # --- backtrack over tokens: j walks the segment ends right-to-left ---
+    rows = jnp.arange(t_x, dtype=jnp.int32)
+
+    def bwd(j_cur, inputs):
+        i, arg_row = inputs  # arg_row: (B, Ty)
+        active = i < x_lengths
+        is_last = i == x_lengths - 1
+        j_here = jnp.where(is_last, y_lengths - 1, j_cur)
+        k = jnp.take_along_axis(arg_row, j_here[:, None], axis=1)[:, 0]
+        dur = jnp.where(
+            active, jnp.where(i > 0, j_here - k, j_here + 1), 0
+        )
+        j_next = jnp.where(active & (i > 0), k, j_here)
+        return j_next, dur
+
+    _, durs_rev = jax.lax.scan(
+        bwd,
+        y_lengths - 1,
+        (rows[::-1], jnp.moveaxis(args, 0, 0)[::-1]),
+    )
+    return jnp.transpose(durs_rev[::-1]).astype(jnp.int32)  # (B, Tx)

@@ -76,3 +76,43 @@ class TestJaxMatchesOracle:
         )[0]
         expected = maximum_path_numpy(v, t_x, t_y)
         assert np.isclose((got * v).sum(), (expected * v).sum())
+
+
+class TestSegmentDP:
+    """maximum_path_durations (token-scan formulation) vs the frame DP."""
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_matches_frame_dp(self, seed):
+        from matcha_tpu.ops.mas import (
+            durations_from_indices,
+            maximum_path_durations,
+            maximum_path_indices,
+        )
+
+        rng = np.random.default_rng(200 + seed)
+        b, t_x, t_y = 4, 7, 19
+        v = jnp.asarray(
+            -np.abs(rng.standard_normal((b, t_x, t_y))).astype(np.float32)
+        )
+        x_len = rng.integers(1, t_x + 1, size=b)
+        y_len = np.array([rng.integers(xl, t_y + 1) for xl in x_len])
+        idx = maximum_path_indices(v, jnp.asarray(x_len), jnp.asarray(y_len))
+        ref = np.asarray(durations_from_indices(idx, t_x)).astype(int)
+        got = np.asarray(
+            maximum_path_durations(v, jnp.asarray(x_len), jnp.asarray(y_len))
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_durations_partition_frames(self):
+        from matcha_tpu.ops.mas import maximum_path_durations
+
+        rng = np.random.default_rng(42)
+        v = jnp.asarray(
+            -np.abs(rng.standard_normal((2, 5, 14))).astype(np.float32)
+        )
+        d = np.asarray(
+            maximum_path_durations(v, jnp.asarray([5, 3]), jnp.asarray([14, 9]))
+        )
+        assert d[0].sum() == 14 and d[1].sum() == 9
+        assert (d[0] >= 1).all() and (d[1][:3] >= 1).all()
+        assert (d[1][3:] == 0).all()
