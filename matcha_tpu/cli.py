@@ -48,7 +48,12 @@ def load_synthesizer(checkpoint_path: str, vocoder_path: str | None) -> MatchaSy
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="MatchaTTS-24k TPU synthesis")
-    parser.add_argument("--text", required=True)
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--text")
+    group.add_argument(
+        "--phoneme_ids",
+        help="comma-separated pretokenized IDs (skips the eSpeak frontend)",
+    )
     parser.add_argument("--checkpoint_path", required=True)
     parser.add_argument("--vocoder_path", default=None, help="converted Vocos params pickle")
     parser.add_argument("--spk", default="0", help="comma-separated speaker ids")
@@ -65,14 +70,18 @@ def main(argv=None):
 
     for spk_str in args.spk.split(","):
         spk = int(spk_str)
-        result = synth.synthesise(
-            args.text,
+        kwargs = dict(
             speaker=spk,
             n_timesteps=args.steps,
             solver=args.solver,
             length_scale=args.length_scale,
             debug=args.debug,
         )
+        if args.text is not None:
+            result = synth.synthesise(args.text, **kwargs)
+        else:
+            ids = [int(t) for t in args.phoneme_ids.split(",")]
+            result = synth.synthesise_ids(ids, **kwargs)
         name = f"speaker_{spk:03d}"
         if len(result.wav):
             write_wav(out_dir / f"{name}.wav", result.wav)
