@@ -271,6 +271,9 @@ class MatchaSynthesizer:
 
         total_fine = int(np.asarray(jnp.sum(durations, axis=1))[0])
         total_fine = max(total_fine, 2)
+        # guard: clamp runaway duration predictions to the largest bucket
+        # (trailing frames are truncated) rather than failing the request
+        total_fine = min(total_fine, self.mel_fine_buckets[-1])
         y_fine_len = pick_bucket(total_fine, self.mel_fine_buckets)
         y_fine_lengths = jnp.asarray([total_fine], jnp.int32)
 
@@ -373,7 +376,7 @@ class MatchaSynthesizer:
             self.params, x_dev, x_lengths, spk_enc, spk_dur, scale
         )
         totals = np.asarray(jnp.sum(durations, axis=1)).astype(int)
-        totals = np.maximum(totals, 2)
+        totals = np.clip(totals, 2, self.mel_fine_buckets[-1])
         y_fine_len = pick_bucket(int(totals.max()), self.mel_fine_buckets)
         mel, wav, _ = self._decode_jit(
             self.params,
