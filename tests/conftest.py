@@ -11,6 +11,23 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# Tests must be hermetic: CPU backend with 8 virtual devices.  Setting env
+# vars here is too late when a PJRT plugin (the axon TPU tunnel) was already
+# registered by sitecustomize at interpreter start — jax would silently run
+# every test on one real TPU.  In that case re-exec pytest with the plugin
+# disabled.
+if (
+    os.environ.get("PALLAS_AXON_POOL_IPS")
+    and os.environ.get("_MATCHA_TESTS_REEXEC") != "1"
+):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_MATCHA_TESTS_REEXEC"] = "1"
+    os.execvpe(
+        sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env
+    )
+
 # Must run before jax is imported anywhere.  Force CPU even if the ambient
 # environment points at a TPU (tests must be hermetic and multi-device).
 os.environ["JAX_PLATFORMS"] = "cpu"
