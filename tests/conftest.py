@@ -11,25 +11,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# Tests must be hermetic: CPU backend with 8 virtual devices.  Setting env
-# vars here is too late when a PJRT plugin (the axon TPU tunnel) was already
-# registered by sitecustomize at interpreter start — jax would silently run
-# every test on one real TPU.  In that case re-exec pytest with the plugin
-# disabled.
-if (
-    os.environ.get("PALLAS_AXON_POOL_IPS")
-    and os.environ.get("_MATCHA_TESTS_REEXEC") != "1"
-):
-    env = dict(os.environ)
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env["JAX_PLATFORMS"] = "cpu"
-    env["_MATCHA_TESTS_REEXEC"] = "1"
-    os.execvpe(
-        sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env
-    )
-
-# Must run before jax is imported anywhere.  Force CPU even if the ambient
-# environment points at a TPU (tests must be hermetic and multi-device).
+# Must run before jax initializes its backends.  Force CPU even if the
+# ambient environment points at a TPU (tests must be hermetic and
+# multi-device).  Note: a PJRT plugin (the axon TPU tunnel) may already be
+# REGISTERED by sitecustomize at interpreter start — env vars alone are then
+# ignored because jax latched them at import — so the jax.config.update
+# below is the authoritative switch (it works as long as no computation has
+# run yet, which is the case at conftest time).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -50,4 +38,14 @@ except ImportError:
 
 import jax  # noqa: E402
 
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception as exc:  # backends already initialized: cannot be hermetic
+    raise RuntimeError(
+        "jax backends initialized before conftest could force CPU; run "
+        "tests with `PALLAS_AXON_POOL_IPS= python -m pytest tests/`"
+    ) from exc
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert jax.device_count() >= 8, "tests need the 8-device virtual CPU mesh"
