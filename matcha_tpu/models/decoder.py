@@ -80,7 +80,8 @@ class Block1D(nn.Module):
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
         m = mask[..., None].astype(self.dtype)
         h = nn.Conv(self.dim_out, (3,), padding="SAME", dtype=self.dtype)(x * m)
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(h)
+        # epsilon=1e-5 matches torch GroupNorm (flax defaults to 1e-6)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(h)
         return mish(h) * m
 
 
@@ -150,7 +151,8 @@ class DecoderTransformerBlock(nn.Module):
         b, t, _ = x.shape
         inner = self.num_heads * self.head_dim
 
-        h = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
+        # epsilon=1e-5 matches torch LayerNorm (flax defaults to 1e-6)
+        h = nn.LayerNorm(name="norm1", epsilon=1e-5, dtype=self.dtype)(x)
         q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(h)
         k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(h)
         v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(h)
@@ -170,7 +172,7 @@ class DecoderTransformerBlock(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
         x = x + nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
 
-        h = nn.LayerNorm(name="norm3", dtype=self.dtype)(x)
+        h = nn.LayerNorm(name="norm3", epsilon=1e-5, dtype=self.dtype)(x)
         x = x + SnakeBetaFFN(
             self.dim, dropout=self.dropout, dtype=self.dtype, name="ff"
         )(h, deterministic=deterministic)
@@ -199,7 +201,7 @@ class ConformerBlock(nn.Module):
         m = mask[..., None].astype(self.dtype)
 
         def ffn(h, name):
-            h = nn.LayerNorm(name=f"{name}_norm", dtype=self.dtype)(h)
+            h = nn.LayerNorm(name=f"{name}_norm", epsilon=1e-5, dtype=self.dtype)(h)
             h = nn.Dense(self.dim * self.ff_mult * 4, name=f"{name}_in", dtype=self.dtype)(h)
             h = nn.swish(h)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -208,7 +210,7 @@ class ConformerBlock(nn.Module):
         x = x + 0.5 * ffn(x, "ff1")
 
         # MHSA
-        h = nn.LayerNorm(name="attn_norm", dtype=self.dtype)(x)
+        h = nn.LayerNorm(name="attn_norm", epsilon=1e-5, dtype=self.dtype)(x)
         b, t, _ = h.shape
         inner = self.num_heads * self.head_dim
         q = nn.Dense(inner, name="to_q", dtype=self.dtype)(h)
@@ -229,7 +231,7 @@ class ConformerBlock(nn.Module):
         x = x + nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
 
         # conv module: LN → pointwise glu → depthwise → swish → pointwise
-        h = nn.LayerNorm(name="conv_norm", dtype=self.dtype)(x)
+        h = nn.LayerNorm(name="conv_norm", epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.Dense(self.dim * self.conv_expansion * 2, name="conv_in", dtype=self.dtype)(h)
         a, g = jnp.split(h, 2, axis=-1)
         h = a * nn.sigmoid(g)
@@ -243,7 +245,7 @@ class ConformerBlock(nn.Module):
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         x = x + 0.5 * ffn(x, "ff2")
-        return nn.LayerNorm(name="final_norm", dtype=self.dtype)(x)
+        return nn.LayerNorm(name="final_norm", epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class Downsample1D(nn.Module):

@@ -42,11 +42,15 @@ def _step_midpoint(f: VelocityFn, x, t, dt):
 
 
 def _step_rk4(f: VelocityFn, x, t, dt):
+    """Kutta's 3/8-rule RK4 — the exact algorithm torchdiffeq dispatches to
+    for method="rk4" (rk4_alt_step_func), so converted checkpoints reproduce
+    the reference's rk4 synthesis numerics (reference: flow_matching.py:62).
+    """
     k1 = f(x, t)
-    k2 = f(x + 0.5 * dt * k1, t + 0.5 * dt)
-    k3 = f(x + 0.5 * dt * k2, t + 0.5 * dt)
-    k4 = f(x + dt * k3, t + dt)
-    return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    k2 = f(x + (dt / 3.0) * k1, t + dt / 3.0)
+    k3 = f(x + dt * (k2 - k1 / 3.0), t + 2.0 * dt / 3.0)
+    k4 = f(x + dt * (k1 - k2 + k3), t + dt)
+    return x + dt * (k1 + 3.0 * (k2 + k3) + k4) / 8.0
 
 
 def _step_heun3(f: VelocityFn, x, t, dt):
@@ -95,6 +99,7 @@ def cfm_loss(
     *,
     sigma_min: float = 1e-4,
     use_mu_prior: bool = True,
+    t_noise: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Masked OT-CFM loss. (reference: flow_matching.py:65-112)
 
@@ -106,11 +111,16 @@ def cfm_loss(
         mu: (B, T, C) conditioning prior (already stop-gradient'ed by the
             caller — decoder gradients must not reach the encoder).
         rng: PRNG key for (t, x0).
+        t_noise: optional fixed ((B,1,1) timestep, (B,T,C) noise) overriding
+            the rng draw — determinism hook for cross-framework parity tests.
     """
     b = x1.shape[0]
-    rng_t, rng_x0 = jax.random.split(rng)
-    t = jax.random.uniform(rng_t, (b, 1, 1), dtype=x1.dtype)
-    noise = jax.random.normal(rng_x0, x1.shape, dtype=x1.dtype)
+    if t_noise is not None:
+        t, noise = t_noise
+    else:
+        rng_t, rng_x0 = jax.random.split(rng)
+        t = jax.random.uniform(rng_t, (b, 1, 1), dtype=x1.dtype)
+        noise = jax.random.normal(rng_x0, x1.shape, dtype=x1.dtype)
     x0 = mu + noise if use_mu_prior else noise
 
     y = (1.0 - (1.0 - sigma_min) * t) * x0 + t * x1
@@ -131,15 +141,18 @@ def cfm_synthesise(
     solver: str = "midpoint",
     use_mu_prior: bool = True,
     noise_seed: int = 42,
+    noise: jax.Array | None = None,
 ) -> jax.Array:
     """ODE synthesis from the encoder prior. (reference: flow_matching.py:26-63)
 
     The noise seed is fixed by default so repeated synthesis of the same text
-    produces identical audio (required for stable MCD measurement).
+    produces identical audio (required for stable MCD measurement).  An
+    explicit ``noise`` array overrides the seeded draw (parity-test hook).
     """
-    noise = jax.random.normal(
-        jax.random.PRNGKey(noise_seed), mu.shape, dtype=mu.dtype
-    )
+    if noise is None:
+        noise = jax.random.normal(
+            jax.random.PRNGKey(noise_seed), mu.shape, dtype=mu.dtype
+        )
     z = mu + noise if use_mu_prior else noise
     z = z * mask[..., None]
     t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1, dtype=mu.dtype)

@@ -96,6 +96,7 @@ class MatchaTTS(nn.Module):
         rng: jax.Array,
         *,
         deterministic: bool = False,
+        cfm_t_noise: tuple[jax.Array, jax.Array] | None = None,
     ) -> dict[str, jax.Array]:
         cfg = self.cfg
         x_mask = sequence_mask(x_lengths, x.shape[1]).astype(jnp.float32)
@@ -164,6 +165,7 @@ class MatchaTTS(nn.Module):
             rng=rng,
             sigma_min=cfg.cfm.sigma_min,
             use_mu_prior=cfg.cfm.use_mu_prior,
+            t_noise=cfm_t_noise,
         )
 
         # abs-error quantile diagnostics, logged at epoch starts to tune the
@@ -216,7 +218,14 @@ class MatchaTTS(nn.Module):
         durations = (jnp.exp(logw) - 2.0) * x_mask
         return mu_x, durations
 
-    def decode(self, mu_y, y_mask, n_timesteps: int, solver: str | None = None):
+    def decode(
+        self,
+        mu_y,
+        y_mask,
+        n_timesteps: int,
+        solver: str | None = None,
+        noise: jax.Array | None = None,
+    ):
         """Prior → mel via the CFM ODE.  Second stage of synthesis."""
 
         def estimator(xt, mask, mu, t):
@@ -229,6 +238,7 @@ class MatchaTTS(nn.Module):
             n_timesteps,
             solver=solver or self.cfg.cfm.solver,
             use_mu_prior=self.cfg.cfm.use_mu_prior,
+            noise=noise,
         )
 
     def speaker_embeddings(self, spks):

@@ -59,7 +59,8 @@ def set_path(tree: dict, path: str, value: np.ndarray):
 
 def convert_state_dict(sd: dict, n_layers_enc: int = 4, prenet_layers: int = 6,
                        dp_layers: int = 4, channels=(320, 320),
-                       n_blocks: int = 2, num_mid_blocks: int = 2) -> dict:
+                       n_blocks: int = 2, num_mid_blocks: int = 2,
+                       strict: bool = False) -> dict:
     """Map the reference state_dict to the flax param tree."""
     sd = {k.replace("._orig_mod", ""): np.asarray(v) for k, v in sd.items()}
     params: dict = {}
@@ -204,7 +205,10 @@ def convert_state_dict(sd: dict, n_layers_enc: int = 4, prenet_layers: int = 6,
         if k not in consumed and not k.startswith(("mel_mean", "mel_std"))
     ]
     if leftovers:
-        print(f"[!] {len(leftovers)} unconverted tensors (first 10): {leftovers[:10]}")
+        msg = f"{len(leftovers)} unconverted tensors (first 10): {leftovers[:10]}"
+        if strict:
+            raise ValueError(msg)
+        print(f"[!] {msg}")
     return params
 
 
