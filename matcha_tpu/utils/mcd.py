@@ -22,14 +22,31 @@ from matcha_tpu.audio.mel import MelConfig, log_mel_spectrogram
 MCD_CONST = 10.0 / np.log(10.0) * np.sqrt(2.0)
 
 
+DYNAMIC_RANGE_NAT = 11.5  # ≈ 50 dB utterance-relative spectral floor
+ENERGY_GATE_NAT = 6.9     # ≈ 30 dB below the loudest frame → dropped
+
+
 def mel_cepstra(wav: np.ndarray, cfg: MelConfig | None = None, n_coeffs: int = 13) -> np.ndarray:
-    """(T,) waveform → (frames, n_coeffs) cepstra (c_1..c_n, c_0 dropped)."""
+    """(T,) waveform → (frames, n_coeffs) cepstra (c_1..c_n, c_0 dropped).
+
+    Two robustness measures mirror what WORLD/SPTK-based MCD (pymcd, the
+    reference's metric) does implicitly:
+      * the linear-mel floor is utterance-relative (max − ~50 dB), not the
+        absolute 1e-7 training floor — otherwise near-silent frames compare
+        log(1e-7) against log(noise) and dominate the distance;
+      * frames more than ~30 dB below the loudest frame (pauses, trailing
+        room tone) are excluded — cepstra of silence carry no speech detail.
+    """
     import jax.numpy as jnp
     from scipy.fft import dct  # scipy ships with the image (via jax deps)
 
     cfg = cfg or MelConfig()
-    mel = np.asarray(log_mel_spectrogram(jnp.asarray(wav), cfg))
-    ceps = dct(mel, type=2, axis=-1, norm="ortho")
+    mel = np.asarray(log_mel_spectrogram(jnp.asarray(wav), cfg))  # (T, C), ln
+    floor = mel.max() - DYNAMIC_RANGE_NAT
+    mel = np.maximum(mel, floor)
+    frame_energy = mel.mean(axis=1)
+    keep = frame_energy > frame_energy.max() - ENERGY_GATE_NAT
+    ceps = dct(mel[keep], type=2, axis=-1, norm="ortho")
     return ceps[:, 1 : n_coeffs + 1]
 
 
@@ -69,9 +86,15 @@ def mcd_dtw(
     wav_ref: np.ndarray,
     wav_syn: np.ndarray,
     cfg: MelConfig | None = None,
-    trim_silence_db: float | None = -60.0,
+    trim_silence_db: float | None = None,
 ) -> float:
-    """MCD (dB) between a reference and a synthesized waveform."""
+    """MCD (dB) between a reference and a synthesized waveform.
+
+    Edge trimming is off by default: the utterance-relative energy gate in
+    ``mel_cepstra`` already drops silence, and an absolute-dB trim would
+    break the metric's gain invariance (c_0 is excluded, so MCD must not
+    change under amplitude scaling).
+    """
     if trim_silence_db is not None:
         wav_ref = _trim_edges(wav_ref, trim_silence_db)
         wav_syn = _trim_edges(wav_syn, trim_silence_db)

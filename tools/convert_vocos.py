@@ -24,7 +24,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from convert_matcha_ckpt import conv_k, dense_k, set_path  # noqa: E402
+try:
+    from tools.convert_matcha_ckpt import conv_k, dense_k, set_path
+except ImportError:  # invoked as a script from inside tools/
+    from convert_matcha_ckpt import conv_k, dense_k, set_path  # noqa: F401
 
 
 def dwconv_k(w: np.ndarray) -> np.ndarray:
