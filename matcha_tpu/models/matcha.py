@@ -30,7 +30,7 @@ from matcha_tpu.models.config import MatchaConfig
 from matcha_tpu.models.decoder import Decoder
 from matcha_tpu.models.flow_matching import cfm_loss, cfm_synthesise
 from matcha_tpu.models.text_encoder import TextEncoder
-from matcha_tpu.ops.mas import durations_from_indices, maximum_path_indices
+from matcha_tpu.ops.mas import durations_from_indices, maximum_path_indices_auto
 from matcha_tpu.text.symbols import N_VOCAB
 from matcha_tpu.utils.model_math import downsample_time, sequence_mask
 
@@ -120,7 +120,7 @@ class MatchaTTS(nn.Module):
         )
         # (B, Ty_fine) frame→token indices; -1 on padding frames
         idx = jax.lax.stop_gradient(
-            maximum_path_indices(log_prior, x_lengths, y_fine_lengths)
+            maximum_path_indices_auto(log_prior, x_lengths, y_fine_lengths)
         )
 
         # ---- duration loss ----

@@ -126,6 +126,23 @@ def durations_from_indices(idx: jax.Array, t_x: int) -> jax.Array:
     return jnp.sum(oh, axis=1)
 
 
+def maximum_path_indices_auto(
+    value: jax.Array, x_lengths: jax.Array, y_lengths: jax.Array
+) -> jax.Array:
+    """Backend-dispatched MAS: the Pallas kernel on TPU (~2× the scan at
+    training shapes — measured 1.69 vs 3.37 ms at B=32, Tx=128, Ty=1024 on
+    v5e), the portable `lax.scan` wavefront everywhere else.
+
+    The choice is made at trace time (backend is static under jit), so this
+    is safe to call from inside a jitted training step.
+    """
+    if jax.default_backend() == "tpu":
+        from matcha_tpu.ops.mas_pallas import maximum_path_indices_pallas
+
+        return maximum_path_indices_pallas(value, x_lengths, y_lengths)
+    return maximum_path_indices(value, x_lengths, y_lengths)
+
+
 @jax.jit
 def maximum_path(
     value: jax.Array, x_lengths: jax.Array, y_lengths: jax.Array

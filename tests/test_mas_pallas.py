@@ -1,5 +1,6 @@
 """Pallas MAS kernel vs the scan implementation (interpret mode on CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -43,3 +44,43 @@ class TestPallasMatchesScan:
         )[0]
         oracle_idx = oracle.argmax(axis=0)
         np.testing.assert_array_equal(got, oracle_idx)
+
+
+class TestOnDevice:
+    """Compiled (non-interpret) Mosaic runs — only on real TPU hardware.
+
+    Skipped on the hermetic CPU mesh; exercised when the suite runs on a TPU
+    host (the kernel is the production MAS path there via
+    `maximum_path_indices_auto`).
+    """
+
+    @pytest.mark.skipif(
+        jax.default_backend() != "tpu", reason="needs real TPU (Mosaic)"
+    )
+    @pytest.mark.parametrize("shape", [(4, 48, 96), (8, 100, 256), (3, 57, 301)])
+    def test_compiled_matches_scan(self, shape):
+        b, t_x, t_y = shape
+        rng = np.random.default_rng(b)
+        v = jnp.asarray(rng.standard_normal((b, t_x, t_y)).astype(np.float32))
+        x_len = rng.integers(2, t_x + 1, size=b)
+        y_len = np.array([rng.integers(xl, t_y + 1) for xl in x_len])
+        ref = np.asarray(
+            maximum_path_indices(v, jnp.asarray(x_len), jnp.asarray(y_len))
+        )
+        got = np.asarray(
+            maximum_path_indices_pallas(v, jnp.asarray(x_len), jnp.asarray(y_len))
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+class TestDispatcher:
+    def test_auto_matches_scan_on_any_backend(self):
+        from matcha_tpu.ops.mas import maximum_path_indices_auto
+
+        rng = np.random.default_rng(11)
+        v = jnp.asarray(rng.standard_normal((2, 12, 40)).astype(np.float32))
+        xl = jnp.asarray([12, 7])
+        yl = jnp.asarray([40, 25])
+        ref = np.asarray(maximum_path_indices(v, xl, yl))
+        got = np.asarray(maximum_path_indices_auto(v, xl, yl))
+        np.testing.assert_array_equal(got, ref)
