@@ -99,10 +99,28 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
 @dataclass
 class SynthesisResult:
     wav: np.ndarray                       # (n_samples,) float32 in [-1, 1]
-    rtf: float
+    rtf: float                            # wall time / audio seconds produced
+    latency_s: float = 0.0                # wall time of the producing call
     mel: np.ndarray | None = None         # (frames, n_mels) denormalized
     durations: np.ndarray | None = None   # (tokens,) fine frames
     encoder_wav: np.ndarray | None = None
+
+
+def blended_scale_correction(voice_mix: Sequence[tuple[int, float]]) -> float:
+    """Weight-blend the per-voice duration corrections across a mix.
+
+    (reference: matcha/server.py:111-114 — a 70/30 mix of voices with
+    corrections 1.05/1.08 speaks at 1.059, not at the primary's 1.05)
+    """
+    total_w = sum(w for _, w in voice_mix) or 1.0
+    blended = 0.0
+    for spk, w in voice_mix:
+        try:
+            sc = voice_by_id(spk)["scale_correction"]
+        except KeyError:
+            sc = 1.0
+        blended += w * sc
+    return blended / total_w
 
 
 class MatchaSynthesizer:
@@ -137,7 +155,11 @@ class MatchaSynthesizer:
         self.vocos_cfg = vocos_cfg
         self.vocos_params = vocos_params
         self.vocos = Vocos(vocos_cfg) if vocos_params is not None else None
-        self.text_buckets = tuple(text_buckets)
+        # buckets past the encoder's RoPE cache can never run — drop them
+        # (keep at least the smallest bucket so tiny test configs still work)
+        max_tx = cfg.encoder.rope_max_len
+        kept = tuple(b for b in text_buckets if b <= max_tx)
+        self.text_buckets = kept or (max_tx,)
         self.mel_fine_buckets = tuple(
             fix_len_compatibility(b // 2) * 2 for b in mel_fine_buckets
         )
@@ -252,10 +274,7 @@ class MatchaSynthesizer:
         if voice_mix is None:
             voice_mix = [(speaker, 1.0)]
         if scale_correction is None:
-            try:
-                scale_correction = voice_by_id(voice_mix[0][0])["scale_correction"]
-            except KeyError:
-                scale_correction = 1.0
+            scale_correction = blended_scale_correction(voice_mix)
 
         n = len(phoneme_ids)
         tx = pick_bucket(n, self.text_buckets)
@@ -318,10 +337,11 @@ class MatchaSynthesizer:
     def synthesise_batch(
         self,
         id_lists: Sequence[Sequence[int]],
-        speakers: Sequence[int],
+        speakers: Sequence[int] | None = None,
         n_timesteps: int = DEFAULT_NUM_STEPS,
         solver: str = DEFAULT_ODE_SOLVER,
         length_scales: Sequence[float] | None = None,
+        voice_mixes: Sequence[Sequence[tuple[int, float]]] | None = None,
     ) -> list[SynthesisResult]:
         """Batched synthesis: the serving-side throughput lever.
 
@@ -331,7 +351,10 @@ class MatchaSynthesizer:
         """
         t0 = time.perf_counter()
         b = len(id_lists)
-        assert b == len(speakers)
+        if voice_mixes is None:
+            assert speakers is not None and b == len(speakers)
+            voice_mixes = [[(spk, 1.0)] for spk in speakers]
+        assert b == len(voice_mixes)
         length_scales = length_scales or [1.0] * b
 
         # multi-chip fan-out: pad the batch to a device multiple and shard it
@@ -346,15 +369,11 @@ class MatchaSynthesizer:
         )
 
         enc_rows, dur_rows, scales = [], [], []
-        for k, spk in enumerate(speakers):
-            e, d = self.speaker_embedding([(spk, 1.0)])
+        for k, mix in enumerate(voice_mixes):
+            e, d = self.speaker_embedding(mix)
             enc_rows.append(e[0])
             dur_rows.append(d[0])
-            try:
-                sc = voice_by_id(spk)["scale_correction"]
-            except KeyError:
-                sc = 1.0
-            scales.append(sc * length_scales[k])
+            scales.append(blended_scale_correction(mix) * length_scales[k])
         pad_rows = b_pad - b
         if pad_rows:
             enc_rows.extend([enc_rows[0]] * pad_rows)
@@ -393,15 +412,24 @@ class MatchaSynthesizer:
 
         results = []
         wav_np = np.asarray(wav) if wav is not None else None
+        wavs = []
         for k in range(b):
             frames = (int(totals[k]) + 1) // 2
             if wav_np is not None:
                 n_samples = max((frames - 1) * STD_RES_HOP_LENGTH, 0)
-                w = trim_trailing_silence(wav_np[k, :n_samples])
+                wavs.append(trim_trailing_silence(wav_np[k, :n_samples]))
             else:
-                w = np.zeros((0,), np.float32)
-            audio_sec = max(len(w) / SAMPLE_RATE, 1e-9)
-            results.append(SynthesisResult(wav=w, rtf=elapsed / (b * audio_sec)))
+                wavs.append(np.zeros((0,), np.float32))
+        # honest metrics: the call produced sum(audio) seconds in `elapsed`
+        # wall seconds, so the throughput RTF is elapsed / total_audio — the
+        # same for every request in the batch; per-request latency is the
+        # full call's wall time (the request waited for the whole batch)
+        total_audio = max(sum(len(w) for w in wavs) / SAMPLE_RATE, 1e-9)
+        batch_rtf = elapsed / total_audio
+        for w in wavs:
+            results.append(
+                SynthesisResult(wav=w, rtf=batch_rtf, latency_s=elapsed)
+            )
         return results
 
     def synthesise(
@@ -425,11 +453,76 @@ class MatchaSynthesizer:
             ids, speaker=speaker, voice_mix=voice_mix, **kwargs
         )
 
-    def warmup(self, n_timesteps: int = DEFAULT_NUM_STEPS, solver: str = DEFAULT_ODE_SOLVER):
-        """Compile the common bucket pairs ahead of serving."""
-        for tx in self.text_buckets[:3]:
-            ids = [24] * (tx // 2)
-            self.synthesise_ids(ids, n_timesteps=n_timesteps, solver=solver)
+    def reachable_bucket_pairs(self) -> list[tuple[int, int]]:
+        """Every (text_bucket, mel_fine_bucket) pair a request can hit.
+
+        A text of n tokens lands in bucket tx iff prev_tx < n <= tx, and
+        durations are floored at 1 fine frame per token, so total fine frames
+        > prev_tx — mel buckets below that are unreachable.  Above that every
+        mel bucket is reachable (runaway predictions are clamped into the
+        largest bucket), so all must be compiled for recompile-free serving.
+        """
+        pairs = []
+        for i, tx in enumerate(self.text_buckets):
+            prev_tx = self.text_buckets[i - 1] if i else 0
+            for yf in self.mel_fine_buckets:
+                if yf > prev_tx:
+                    pairs.append((tx, yf))
+        return pairs
+
+    def _warm_pair(self, tx: int, y_fine_len: int, n_timesteps: int, solver: str):
+        """Compile stage A for ``tx`` and stage B for (tx, y_fine_len) by
+        driving the jit caches directly with synthetic tensors — this hits
+        the exact shape pair deterministically, which synthesise_ids cannot
+        (its mel bucket depends on predicted durations)."""
+        n = max(tx // 2, 2)
+        x = jnp.zeros((1, tx), jnp.int32)
+        mu_x, durations, x_mask = self._encode_jit(
+            self.params,
+            x,
+            jnp.asarray([n], jnp.int32),
+            jnp.zeros((1, self.cfg.spk_emb_dim), jnp.float32),
+            jnp.zeros((1, self.cfg.spk_emb_dim), jnp.float32),
+            jnp.asarray(1.0, jnp.float32),
+        )
+        total = jnp.asarray([min(max(n, 2), y_fine_len)], jnp.int32)
+        out = self._decode_jit(
+            self.params,
+            self.vocos_params,
+            mu_x,
+            durations,
+            x_mask,
+            total,
+            y_fine_len=y_fine_len,
+            n_timesteps=n_timesteps,
+            solver=solver,
+        )
+        jax.block_until_ready(out)
+
+    def warmup(
+        self,
+        n_timesteps: int = DEFAULT_NUM_STEPS,
+        solver: str = DEFAULT_ODE_SOLVER,
+        full: bool = False,
+    ):
+        """Pre-compile serving programs.
+
+        ``full=True`` compiles EVERY reachable (text, mel) bucket pair —
+        recompile-free serving guaranteed (pair with the persistent
+        compilation cache so only the first boot pays); the default warms
+        each text bucket with its most likely mel bucket (~8 fine frames per
+        token) plus the smallest reachable pair.
+        """
+        if full:
+            pairs = self.reachable_bucket_pairs()
+        else:
+            pairs = []
+            for tx in self.text_buckets:
+                expect = (tx // 2) * 8  # ≈8 fine frames (40 ms) per token
+                if expect <= self.mel_fine_buckets[-1]:
+                    pairs.append((tx, pick_bucket(expect, self.mel_fine_buckets)))
+        for tx, yf in pairs:
+            self._warm_pair(tx, yf, n_timesteps, solver)
 
 
 def trim_trailing_silence(audio: np.ndarray, silence_threshold_db: float = -60.0) -> np.ndarray:

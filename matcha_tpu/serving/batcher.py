@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import queue
 import threading
+import time as _time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
@@ -19,7 +21,7 @@ from dataclasses import dataclass, field
 @dataclass
 class _Pending:
     ids: list[int]
-    speaker: int
+    voice_mix: list[tuple[int, float]]
     length_scale: float
     n_timesteps: int
     solver: str
@@ -40,6 +42,9 @@ class RequestBatcher:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.q: queue.Queue[_Pending] = queue.Queue()
+        # requests whose (steps, solver) didn't match the group being
+        # gathered; they seed the NEXT group (only touched by the loop thread)
+        self._deferred: deque[_Pending] = deque()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
@@ -47,12 +52,15 @@ class RequestBatcher:
     def submit(
         self,
         ids: list[int],
-        speaker: int,
+        speaker: int | None = None,
         length_scale: float = 1.0,
         n_timesteps: int = 4,
         solver: str = "midpoint",
+        voice_mix: list[tuple[int, float]] | None = None,
     ) -> Future:
-        item = _Pending(ids, speaker, length_scale, n_timesteps, solver)
+        if voice_mix is None:
+            voice_mix = [(int(speaker or 0), 1.0)]
+        item = _Pending(ids, voice_mix, length_scale, n_timesteps, solver)
         self.q.put(item)
         return item.future
 
@@ -64,17 +72,27 @@ class RequestBatcher:
 
     def _loop(self):
         while not self._stop.is_set():
-            try:
-                first = self.q.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            if self._deferred:
+                first = self._deferred.popleft()
+            else:
+                try:
+                    first = self.q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
             group = [first]
-            deadline_key = first.group_key()
-            # gather more compatible requests within the wait window
-            import time as _time
-
+            key = first.group_key()
             deadline = _time.monotonic() + self.max_wait
             while len(group) < self.max_batch:
+                # drain compatible items parked by earlier gathers first
+                match = next(
+                    (i for i, it in enumerate(self._deferred) if it.group_key() == key),
+                    None,
+                )
+                if match is not None:
+                    item = self._deferred[match]
+                    del self._deferred[match]
+                    group.append(item)
+                    continue
                 remaining = deadline - _time.monotonic()
                 if remaining <= 0:
                     break
@@ -82,20 +100,23 @@ class RequestBatcher:
                     nxt = self.q.get(timeout=remaining)
                 except queue.Empty:
                     break
-                if nxt.group_key() == deadline_key:
+                if nxt.group_key() == key:
                     group.append(nxt)
                 else:
-                    self._run([nxt])  # incompatible: run alone, keep order simple
+                    # incompatible: NEVER run inline (it would stall the
+                    # gathered group past its deadline by a full synthesis) —
+                    # park it to seed the next group
+                    self._deferred.append(nxt)
             self._run(group)
 
     def _run(self, group: list[_Pending]):
         try:
             results = self.synth.synthesise_batch(
                 [g.ids for g in group],
-                [g.speaker for g in group],
                 n_timesteps=group[0].n_timesteps,
                 solver=group[0].solver,
                 length_scales=[g.length_scale for g in group],
+                voice_mixes=[g.voice_mix for g in group],
             )
             for g, r in zip(group, results):
                 g.future.set_result(r)

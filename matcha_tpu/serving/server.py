@@ -79,7 +79,10 @@ class TTSService:
             self.batcher = RequestBatcher(synthesizer)
 
     def warmup(self):
-        self.synth.warmup()
+        # WARMUP_FULL=1 compiles every reachable (text, mel) bucket pair —
+        # recompile-free serving; pair with the persistent jax cache so only
+        # the first boot of an image pays the compile time
+        self.synth.warmup(full=os.environ.get("WARMUP_FULL", "0") == "1")
         self.ready = True
 
     def speak(self, body: dict) -> tuple[bytes, str]:
@@ -113,13 +116,13 @@ class TTSService:
                 raise ValueError("phoneme_ids out of range")
 
         t0 = time.perf_counter()
-        if self.batcher is not None and len(voice_mix) == 1:
+        if self.batcher is not None:
             result = self.batcher.submit(
                 ids,
-                voice_mix[0][0],
                 length_scale=length_scale,
                 n_timesteps=steps,
                 solver=solver,
+                voice_mix=voice_mix,
             ).result(timeout=120)
         else:
             result = self.synth.synthesise_ids(

@@ -1,0 +1,119 @@
+"""RequestBatcher unit tests with a fake synthesizer.
+
+Covers the head-of-line guarantee: an incompatible (steps, solver) arrival
+must NOT be executed inside the gather window of the pending group — it is
+parked and seeds the next group, so the compatible group dispatches at its
+own deadline.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from matcha_tpu.inference import SynthesisResult
+from matcha_tpu.serving.batcher import RequestBatcher
+
+import numpy as np
+
+
+class FakeSynth:
+    """Records every synthesise_batch call (group composition + timestamp)."""
+
+    def __init__(self, call_duration: float = 0.05):
+        self.calls: list[dict] = []
+        self.call_duration = call_duration
+        self.lock = threading.Lock()
+
+    def synthesise_batch(self, id_lists, speakers=None, n_timesteps=4,
+                         solver="midpoint", length_scales=None, voice_mixes=None):
+        with self.lock:
+            self.calls.append(
+                {
+                    "t": time.monotonic(),
+                    "ids": [list(i) for i in id_lists],
+                    "steps": n_timesteps,
+                    "solver": solver,
+                    "mixes": voice_mixes,
+                }
+            )
+        time.sleep(self.call_duration)  # simulate a slow TPU synthesis
+        return [
+            SynthesisResult(wav=np.zeros(10, np.float32), rtf=0.1)
+            for _ in id_lists
+        ]
+
+
+def make_batcher(fake, **kw):
+    return RequestBatcher(fake, max_batch=4, max_wait_ms=40.0, **kw)
+
+
+def test_compatible_requests_share_one_batch():
+    fake = FakeSynth()
+    b = make_batcher(fake)
+    try:
+        futs = [b.submit([1, 2, 3], speaker=0) for _ in range(3)]
+        for f in futs:
+            f.result(timeout=5)
+        assert len(fake.calls) == 1
+        assert len(fake.calls[0]["ids"]) == 3
+    finally:
+        b.shutdown()
+
+
+def test_mixed_key_arrival_does_not_delay_pending_group():
+    """Group A (2x midpoint/4) is gathering; an euler/8 request arrives inside
+    the window.  The incompatible request must not run inline: group A must
+    dispatch within ~its own wait window, and the euler request runs after."""
+    fake = FakeSynth(call_duration=0.2)  # long synthesis: inline run would
+    b = make_batcher(fake)               # push group A past deadline + 200ms
+    try:
+        t0 = time.monotonic()
+        fa1 = b.submit([1], speaker=0, n_timesteps=4, solver="midpoint")
+        fa2 = b.submit([2], speaker=0, n_timesteps=4, solver="midpoint")
+        time.sleep(0.005)
+        fb = b.submit([3], speaker=0, n_timesteps=8, solver="euler")
+        fa1.result(timeout=5), fa2.result(timeout=5), fb.result(timeout=5)
+
+        assert len(fake.calls) == 2
+        first, second = fake.calls
+        # the compatible pair dispatched FIRST, within its 40 ms window
+        # (plus scheduling slack) — an inline run of the euler request would
+        # have delayed it by >= 200 ms
+        assert first["solver"] == "midpoint" and len(first["ids"]) == 2
+        assert first["t"] - t0 < 0.15
+        assert second["solver"] == "euler" and len(second["ids"]) == 1
+        assert second["t"] >= first["t"]
+    finally:
+        b.shutdown()
+
+
+def test_voice_mixes_flow_through_batcher():
+    fake = FakeSynth()
+    b = make_batcher(fake)
+    try:
+        f1 = b.submit([1, 2], voice_mix=[(2, 0.7), (5, 0.3)])
+        f2 = b.submit([3], speaker=1)
+        f1.result(timeout=5), f2.result(timeout=5)
+        mixes = [m for c in fake.calls for m in c["mixes"]]
+        assert [(2, 0.7), (5, 0.3)] in mixes
+        assert [(1, 1.0)] in mixes
+    finally:
+        b.shutdown()
+
+
+def test_deferred_requests_eventually_group_together():
+    """Two parked euler requests should share the follow-up batch."""
+    fake = FakeSynth(call_duration=0.1)
+    b = make_batcher(fake)
+    try:
+        fa = b.submit([1], speaker=0, solver="midpoint")
+        time.sleep(0.005)
+        fb1 = b.submit([2], speaker=0, solver="euler")
+        fb2 = b.submit([3], speaker=0, solver="euler")
+        for f in (fa, fb1, fb2):
+            f.result(timeout=5)
+        euler_calls = [c for c in fake.calls if c["solver"] == "euler"]
+        assert len(euler_calls) == 1 and len(euler_calls[0]["ids"]) == 2
+    finally:
+        b.shutdown()

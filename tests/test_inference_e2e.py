@@ -89,6 +89,57 @@ class TestSynthesiseBatch:
         assert len(results) == 3
         for r in results:
             assert np.isfinite(r.wav).all()
+        # batch metrics: one shared throughput RTF + the call's wall latency
+        assert len({r.rtf for r in results}) == 1
+        assert all(r.latency_s > 0 for r in results)
+
+    def test_batch_supports_voice_mixes(self, synth):
+        rng = np.random.default_rng(7)
+        id_lists = [list(rng.integers(0, 600, 8)), list(rng.integers(0, 600, 8))]
+        results = synth.synthesise_batch(
+            id_lists,
+            n_timesteps=2,
+            voice_mixes=[[(0, 0.7), (1, 0.3)], [(2, 1.0)]],
+        )
+        assert len(results) == 2
+        assert all(np.isfinite(r.wav).all() for r in results)
+        # a mixed request must equal the single-request mix path exactly
+        solo = synth.synthesise_ids(
+            id_lists[0], voice_mix=[(0, 0.7), (1, 0.3)], n_timesteps=2
+        )
+        np.testing.assert_allclose(results[0].wav, solo.wav, atol=1e-5)
+
+
+class TestBlendedScaleCorrection:
+    def test_blend_formula(self):
+        from matcha_tpu.inference import blended_scale_correction, voice_by_id
+
+        sc0 = voice_by_id(0)["scale_correction"]
+        sc1 = voice_by_id(1)["scale_correction"]
+        # (reference: matcha/server.py:111-114)
+        expect = 0.7 * sc0 + 0.3 * sc1
+        assert abs(blended_scale_correction([(0, 0.7), (1, 0.3)]) - expect) < 1e-9
+        # unknown voices fall back to 1.0
+        assert abs(blended_scale_correction([(999, 1.0)]) - 1.0) < 1e-9
+
+
+class TestWarmupLadder:
+    def test_reachable_pairs(self, synth):
+        pairs = synth.reachable_bucket_pairs()
+        # text bucket 16 (prev 0): every mel bucket reachable
+        assert [(16, m) for m in (64, 128, 256)] == [p for p in pairs if p[0] == 16]
+        # text bucket 64 (prev 32): mel 64 unreachable? 64 > 32 → reachable
+        assert (64, 64) in pairs
+
+    def test_full_warmup_means_no_new_compiles(self, synth):
+        synth.warmup(n_timesteps=2, full=True)
+        n_enc = synth._encode_jit._cache_size()
+        n_dec = synth._decode_jit._cache_size()
+        rng = np.random.default_rng(8)
+        for n in (3, 17, 40):
+            synth.synthesise_ids(list(rng.integers(0, 600, n)), n_timesteps=2)
+        assert synth._encode_jit._cache_size() == n_enc
+        assert synth._decode_jit._cache_size() == n_dec
 
 
 class TestTrimTrailingSilence:
