@@ -28,7 +28,11 @@ from matcha_tpu.data.dataset import TextMelDataset
 from matcha_tpu.data.sampler import BucketedBatchSampler
 from matcha_tpu.models.config import MatchaConfig
 from matcha_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from matcha_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from matcha_tpu.train.checkpoint import (
+    expand_speaker_tables,
+    load_checkpoint,
+    save_checkpoint,
+)
 from matcha_tpu.train.optim import OptimizerConfig, build_optimizer
 from matcha_tpu.train.step import TrainState, init_train_state, make_train_step
 
@@ -157,19 +161,57 @@ class Trainer:
             self.valid_sampler = None
 
     def init_state(self, resume_from: str | None = None) -> TrainState:
+        """Fresh or resumed train state, with the reference's load hooks:
+
+        * learning rate / weight decay always come from THIS run's config —
+          optax keeps them in the transformation, not in the checkpoint, so a
+          resume with a new lr trains at the new lr (the reference overrides
+          its checkpointed param_groups to get the same effect,
+          baselightningmodule.py:89-97; tested in tests/test_trainer_e2e.py)
+        * speaker-table auto-expansion: resuming a checkpoint trained with
+          fewer speakers than cfg.n_spks zero-extends both embedding tables
+          AND their Adam moment rows (reference: baselightningmodule.py:99-131)
+        """
         state = init_train_state(
             self.model_cfg, self.tx, jax.random.PRNGKey(self.cfg.seed)
         )
         if resume_from:
-            # restore with the fresh state as the structure template so the
-            # optax NamedTuple containers survive the round-trip
+            import dataclasses
+
+            ckpt_cfg = MatchaConfig.from_dict(
+                json.loads((Path(resume_from) / "config.json").read_text())
+            )
+            ckpt_n_spks = ckpt_cfg.n_spks
+            if ckpt_n_spks > self.model_cfg.n_spks:
+                raise ValueError(
+                    f"checkpoint has {ckpt_n_spks} speakers but config asks "
+                    f"for {self.model_cfg.n_spks}; shrinking is not supported"
+                )
+            # restore with a structure template matching the CHECKPOINT's
+            # speaker count so the optax NamedTuple containers (and table
+            # shapes) survive the round-trip
+            if ckpt_n_spks < self.model_cfg.n_spks:
+                small_cfg = dataclasses.replace(self.model_cfg, n_spks=ckpt_n_spks)
+                tmpl_state = init_train_state(
+                    small_cfg, self.tx, jax.random.PRNGKey(self.cfg.seed)
+                )
+            else:
+                small_cfg, tmpl_state = self.model_cfg, state
             template = {
-                "params": state.params,
-                "opt_state": state.opt_state,
+                "params": tmpl_state.params,
+                "opt_state": tmpl_state.opt_state,
                 "step": 0,
                 "epoch": 0,
             }
             tree, _ = load_checkpoint(resume_from, target=template)
+            if ckpt_n_spks < self.model_cfg.n_spks:
+                tree, _ = expand_speaker_tables(
+                    tree, small_cfg, self.model_cfg.n_spks
+                )
+                print(
+                    f"expanded speaker tables {ckpt_n_spks} → "
+                    f"{self.model_cfg.n_spks} on resume"
+                )
             state = TrainState(
                 params=tree["params"],
                 opt_state=tree["opt_state"],
@@ -233,10 +275,12 @@ class Trainer:
 
     def validate(self, state: TrainState, epoch: int, rng):
         vals = []
-        for batch in epoch_batches(
-            self.valid_ds, self.valid_sampler, 0, self.text_bucket
+        for i, batch in enumerate(
+            epoch_batches(self.valid_ds, self.valid_sampler, 0, self.text_bucket)
         ):
-            m = self.eval_step(state.params, self._put(batch), rng)
+            # fold the batch index so CFM's sampled (t, noise) differ per
+            # batch — a constant key would correlate the val-loss estimator
+            m = self.eval_step(state.params, self._put(batch), jax.random.fold_in(rng, i))
             vals.append(float(np.asarray(m["loss"])))
         self.logger.log(
             int(state.step),

@@ -94,3 +94,51 @@ class TestTrainerEndToEnd:
         trainer = make_trainer(corpus, "run3", use_mesh=True, max_epochs=1)
         state = trainer.fit()
         assert int(state.step) > 0
+
+    def test_resume_expands_speakers_and_honors_new_lr(self, corpus):
+        """Reference load hooks (baselightningmodule.py:89-131): resuming a
+        4-speaker checkpoint into a 6-speaker config zero-extends both
+        embedding tables + Adam moments, and the new config's lr governs the
+        resumed updates."""
+        root, filelist, mel_dir = corpus
+        ckpt = sorted((root / "run1" / "checkpoints").glob("epoch_*"))[-1]
+
+        ds = TextMelDataset(filelist, mel_dir)
+        big_cfg = dataclasses.replace(CFG, n_spks=CFG.n_spks + 2)
+        tcfg = TrainerConfig(
+            output_dir=str(root / "run4"), max_epochs=1,
+            check_val_every_n_epoch=100, checkpoint_every_n_epochs=1,
+            log_every_n_steps=1, use_mesh=False,
+        )
+        trainer = Trainer(
+            model_cfg=big_cfg,
+            opt_cfg=OptimizerConfig(lr=5e-4),  # new lr on resume
+            trainer_cfg=tcfg,
+            train_dataset=ds,
+            max_frames_per_batch=256, len_bucket=16, text_bucket=16,
+        )
+        state = trainer.init_state(resume_from=str(ckpt))
+
+        emb = np.asarray(state.params["speaker_embeddings_enc"]["embedding"])
+        assert emb.shape[0] == big_cfg.n_spks
+        assert np.allclose(emb[CFG.n_spks:], 0.0)  # new rows zero-initialized
+        # Adam moments expanded alongside (find mu inside the optax chain)
+        mus = [
+            np.asarray(leaf)
+            for path, leaf in __import__("jax").tree_util.tree_flatten_with_path(
+                state.opt_state
+            )[0]
+            if "speaker_embeddings_enc" in __import__("jax").tree_util.keystr(path)
+        ]
+        assert mus and all(m.shape[0] == big_cfg.n_spks for m in mus)
+
+        # one real training step on the expanded state
+        state2 = trainer.fit(resume_from=str(ckpt), max_steps=int(state.step) + 1)
+        assert int(state2.step) == int(state.step) + 1
+
+        # lr is live from the new config: a param actually moved by the step
+        d = np.abs(
+            np.asarray(state2.params["encoder"]["emb"]["embedding"])
+            - np.asarray(state.params["encoder"]["emb"]["embedding"])
+        ).max()
+        assert d > 0
