@@ -56,16 +56,23 @@ class TestGoldenLosses:
         }
         expected_path = "tests/fixtures/golden_losses.json"
         import json
+        import os
         from pathlib import Path
 
         path = Path(__file__).parent / "fixtures" / "golden_losses.json"
-        if not path.exists():  # first run records the fixture
+        if os.environ.get("RECORD_GOLDEN") == "1":  # deliberate re-baseline
             path.parent.mkdir(exist_ok=True)
             path.write_text(json.dumps(got, indent=2))
-            pytest.skip(f"recorded golden fixture at {expected_path}")
+            pytest.skip(f"re-recorded golden fixture at {expected_path}")
+        # a missing fixture FAILS: silently re-recording would let drift
+        # re-baseline itself (record explicitly with RECORD_GOLDEN=1)
+        assert path.exists(), (
+            f"golden fixture {expected_path} missing — run once with "
+            f"RECORD_GOLDEN=1 to record it deliberately"
+        )
         expected = json.loads(path.read_text())
         for k, v in expected.items():
             assert abs(got[k] - v) < 2e-3, (
                 f"{k} drifted: {got[k]} vs golden {v} — if intentional, "
-                f"delete {expected_path} to re-record"
+                f"re-record with RECORD_GOLDEN=1"
             )
