@@ -1,13 +1,22 @@
-"""Headline benchmark: batched 24 kHz synthesis RTF per chip.
+"""Headline benchmark: batched 24 kHz text->wav synthesis RTF per chip.
 
-Measures the full accelerator graph — CFM ODE decode (midpoint, 4 steps →
-8 U-Net evals) + Vocos vocoder — on the production model config at a
-serving-realistic batch, and reports real-time factor per chip:
+Times BOTH jitted serving stages on the production model config at a
+serving-realistic batch — no synthetic intermediates:
 
-    RTF = wall_time / total_audio_seconds        (lower is better)
+  stage A  encoder + duration predictor   (_encode_jit)
+  stage B  alignment -> CFM ODE decode (midpoint, 4 steps -> 8 U-Net evals)
+           -> Vocos vocoder                (_decode_jit)
+
+and reports real-time factor per chip:
+
+    RTF = (t_A + t_B) / total_audio_seconds        (lower is better)
+
+plus an MFU estimate (XLA cost-analysis FLOPs / elapsed / v5e bf16 peak)
+and the per-stage wall-time breakdown.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+     "mfu": ..., "stage_breakdown": {...}}
 
 `vs_baseline` compares against the BASELINE.json north-star target of
 RTF < 0.01 per chip (values < 1.0 beat the target).  Weights are random —
@@ -33,6 +42,19 @@ try:
 except Exception:
     pass
 
+V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
+
+
+def _cost_flops(jitted, *args, **kwargs) -> float:
+    """XLA's analytic FLOP count for one execution (0.0 if unavailable)."""
+    try:
+        c = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def main():
     import dataclasses
@@ -56,45 +78,83 @@ def main():
     batch, tx, y_fine_len = 16, 256, 1024
     rng = np.random.default_rng(0)
     iters = 10
-    mu_x_all = [
-        jnp.asarray(rng.standard_normal((batch, tx, cfg.n_feats)), jnp.float32)
+
+    # ---- stage A: real phoneme ids through encoder + duration predictor ----
+    x_all = [
+        jnp.asarray(rng.integers(0, 600, (batch, tx)), jnp.int32)
         for _ in range(iters + 1)
     ]
-    durations = jnp.full((batch, tx), y_fine_len // tx, jnp.float32)
-    x_mask = jnp.ones((batch, tx), jnp.float32)
-    y_fine_lengths = jnp.full((batch,), y_fine_len, jnp.int32)
+    x_lengths = jnp.full((batch,), tx, jnp.int32)
+    spk_enc = jnp.zeros((batch, cfg.spk_emb_dim), jnp.float32)
+    spk_dur = jnp.zeros((batch, cfg.spk_emb_dim), jnp.float32)
+    scale = jnp.asarray(1.0, jnp.float32)
 
-    def run(mu_x):
+    def run_a(x):
+        return synth._encode_jit(synth.params, x, x_lengths, spk_enc, spk_dur, scale)
+
+    mu_x, durations, x_mask = run_a(x_all[-1])  # warmup/compile
+    # warm the checksum program too (slice+sum is its own tiny XLA program;
+    # through the remote-compile tunnel even that costs seconds on first use)
+    _ = float(jnp.sum(durations[:, :8]))
+
+    t0 = time.perf_counter()
+    checksum = 0.0
+    for i in range(iters):
+        mu_x_i, dur_i, _ = run_a(x_all[i])
+        checksum += float(jnp.sum(dur_i[:, :8]))  # force exec + D2H per iter
+    elapsed_a = (time.perf_counter() - t0) / iters
+
+    # ---- stage B: the durations stage A just predicted, production bucket ----
+    totals = jnp.minimum(
+        jnp.sum(durations, axis=1).astype(jnp.int32), y_fine_len
+    )
+
+    def run_b(mu_x):
         mel, wav, _ = synth._decode_jit(
             synth.params,
             synth.vocos_params,
             mu_x,
             durations,
             x_mask,
-            y_fine_lengths,
+            totals,
             y_fine_len=y_fine_len,
             n_timesteps=4,
             solver="midpoint",
         )
         return wav
 
-    # warmup/compile, and force full materialization on host
-    w = run(mu_x_all[-1])
-    _ = float(jnp.sum(w))
+    w = run_b(mu_x)  # warmup/compile
+    _ = float(jnp.sum(w[:, :8]))
 
     t0 = time.perf_counter()
-    checksum = 0.0
     for i in range(iters):
-        wav = run(mu_x_all[i])
-        # host-side reduction forces device execution + D2H each iteration
-        checksum += float(jnp.sum(wav[:, :8]))
+        # vary input per iter so the tunnel cannot dedupe executions
+        wav = run_b(mu_x + jnp.float32(i) * 1e-6)
+        checksum += float(jnp.sum(wav[:, :8]))  # force exec + D2H per iter
     wav.block_until_ready()
-    elapsed = (time.perf_counter() - t0) / iters
+    elapsed_b = (time.perf_counter() - t0) / iters
 
+    elapsed = elapsed_a + elapsed_b
     coarse_frames = y_fine_len // 2
     audio_seconds = batch * (coarse_frames - 1) * 256 / 24000
     rtf = elapsed / audio_seconds
     target = 0.01  # BASELINE.json north star: RTF < 0.01 per v5e chip
+
+    flops = _cost_flops(
+        synth._encode_jit, synth.params, x_all[0], x_lengths, spk_enc, spk_dur, scale
+    ) + _cost_flops(
+        synth._decode_jit,
+        synth.params,
+        synth.vocos_params,
+        mu_x,
+        durations,
+        x_mask,
+        totals,
+        y_fine_len=y_fine_len,
+        n_timesteps=4,
+        solver="midpoint",
+    )
+    mfu = flops / elapsed / V5E_PEAK_FLOPS if flops else None
 
     print(
         json.dumps(
@@ -103,6 +163,14 @@ def main():
                 "value": round(rtf, 6),
                 "unit": "rtf",
                 "vs_baseline": round(rtf / target, 4),
+                "mfu": round(mfu, 4) if mfu is not None else None,
+                "stage_breakdown": {
+                    "encoder_ms": round(elapsed_a * 1e3, 3),
+                    "decode_vocoder_ms": round(elapsed_b * 1e3, 3),
+                    "batch": batch,
+                    "audio_seconds": round(audio_seconds, 2),
+                    "tflops_per_call": round(flops / 1e12, 3) if flops else None,
+                },
             }
         )
     )
