@@ -97,9 +97,13 @@ class TextMelDataset:
         text_mel_datamodule.py:73-87)
         """
         coarse, _ = self.mel_paths(index)
-        with open(coarse, "rb") as f:
-            version = np.lib.format.read_magic(f)
-            shape, _, _ = np.lib.format._read_array_header(f, version)
+        from matcha_tpu.data import native_loader
+
+        if native_loader.available():
+            return native_loader.mel_length(coarse)
+        # public-API fallback: open_memmap reads only the header; no data
+        # pages are touched until the (never-performed) element access
+        shape = np.lib.format.open_memmap(coarse, mode="r").shape
         if len(shape) != 2:
             return shape[0]
         # caches are (n_mels, T) channel-major; tolerate time-major too
