@@ -25,6 +25,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dir", required=True, help="folder with original_*.wav")
     parser.add_argument("--generated_dir", default=None)
+    parser.add_argument(
+        "--mcd_basis", default="auto", choices=["auto", "pymcd", "sptk", "mel"],
+        help="auto = pymcd toolbox when installed (reference-comparable), else sptk",
+    )
     args = parser.parse_args(argv)
 
     root = Path(args.dir)
@@ -40,7 +44,7 @@ def main(argv=None):
             continue
         ref_wav, _ = read_wav(orig)
         syn_wav, _ = read_wav(gen)
-        score = mcd_dtw(ref_wav, syn_wav)
+        score = mcd_dtw(ref_wav, syn_wav, basis=args.mcd_basis)
         scores.append(score)
         print(f"{stem}: MCD {score:.2f} dB")
     if scores:

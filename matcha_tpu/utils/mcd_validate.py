@@ -35,6 +35,10 @@ def main(argv=None):
     parser.add_argument("--samples_per_speaker", type=int, default=20)
     parser.add_argument("--steps", type=int, default=4)
     parser.add_argument("--solver", default="midpoint")
+    parser.add_argument(
+        "--mcd_basis", default="auto", choices=["auto", "pymcd", "sptk", "mel"],
+        help="auto = pymcd toolbox when installed (reference-comparable), else sptk",
+    )
     args = parser.parse_args(argv)
 
     synth = load_synthesizer(args.checkpoint_path, args.vocoder_path)
@@ -52,7 +56,7 @@ def main(argv=None):
                 ids, speaker=spk, n_timesteps=args.steps, solver=args.solver
             )
             ref_wav, _ = read_wav(Path(args.wav_dir) / f"{row[0]}.wav")
-            scores.append(mcd_dtw(ref_wav, result.wav))
+            scores.append(mcd_dtw(ref_wav, result.wav, basis=args.mcd_basis))
             ratios.append(len(result.wav) / max(len(ref_wav), 1))
         spk_avg = float(np.nanmean(scores))
         all_scores.extend(scores)

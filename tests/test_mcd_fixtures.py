@@ -62,3 +62,43 @@ def test_compute_mcd_cli_runs_on_fixture_dir(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "average MCD" in out
     assert "over 3 pairs" in out
+
+
+class TestSptkBasis:
+    """The pymcd-family basis (22.05 kHz / 5 ms / alpha=0.65 mcep)."""
+
+    def test_identity_zero_and_gain_invariant(self):
+        audio, sr = read_wav(FIXTURES / "original_speaker_000.wav")
+        audio = audio[: sr * 2]
+        assert mcd_dtw(audio, audio, basis="sptk") < 1e-6
+        # c0 excluded -> amplitude scaling must not move the metric
+        d = mcd_dtw(audio, 0.5 * audio, basis="sptk")
+        assert d < 0.2
+
+    def test_monotone_in_distortion(self):
+        audio, sr = read_wav(FIXTURES / "original_speaker_000.wav")
+        audio = audio[: sr * 2]
+        rng = np.random.default_rng(0)
+        mild = audio + 0.01 * rng.standard_normal(len(audio))
+        harsh = audio + 0.1 * rng.standard_normal(len(audio))
+        d_mild = mcd_dtw(audio, mild, basis="sptk")
+        d_harsh = mcd_dtw(audio, harsh, basis="sptk")
+        assert 0 < d_mild < d_harsh
+
+    def test_different_speakers_in_plausible_band(self):
+        """Different speakers saying different things: pymcd-style numbers
+        land roughly in the 5-15 dB range (same-content synthesis quality
+        bands are ~3-5 dB, reference mcd_validate.py:7-9)."""
+        a, sr = read_wav(FIXTURES / "original_speaker_000.wav")
+        b, _ = read_wav(FIXTURES / "original_speaker_001.wav")
+        d = mcd_dtw(a[: sr * 2], b[: sr * 2], basis="sptk")
+        assert 3.0 < d < 20.0
+
+    def test_auto_falls_back_to_sptk_without_pymcd(self):
+        from matcha_tpu.utils import mcd as mcd_mod
+
+        if mcd_mod.pymcd_available():
+            pytest.skip("pymcd installed; auto uses it")
+        a, sr = read_wav(FIXTURES / "original_speaker_000.wav")
+        got = mcd_dtw(a[: sr], a[: sr], basis="auto")
+        assert got < 1e-6
