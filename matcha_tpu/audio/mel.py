@@ -163,3 +163,44 @@ def log_mel_spectrogram(wav: jax.Array, cfg: MelConfig) -> jax.Array:
         "...tf,fm->...tm", mag, fb, preferred_element_type=jnp.float32
     )
     return jnp.log(jnp.clip(mel, min=cfg.log_eps))
+
+
+def legacy_hifigan_mel(
+    wav: jax.Array,
+    n_fft: int = 1024,
+    num_mels: int = 80,
+    sample_rate: int = 22050,
+    hop_length: int = 256,
+    win_length: int = 1024,
+    f_min: float = 0.0,
+    f_max: float = 8000.0,
+) -> jax.Array:
+    """Legacy HiFiGAN-style mel — the reference's ``utils/audio.py:44-82``.
+
+    Semantics differ from the Vocos-24k production extractor on every axis:
+    uncentered STFT after a manual reflect pad of (n_fft-hop)//2 per side,
+    magnitude = sqrt(power + 1e-9), librosa slaney-scale/slaney-norm
+    filterbank, and dynamic-range compression log(clamp(x, 1e-5)).  Unused
+    by the production path (kept for older-checkpoint compatibility).
+
+    (..., T) waveform → (..., frames, num_mels) log-mel.
+    """
+    pad = (n_fft - hop_length) // 2
+    y = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad)], mode="reflect")
+    t = y.shape[-1]
+    num_frames = 1 + (t - n_fft) // hop_length
+    idx = _frame_indices(num_frames, hop_length, n_fft)
+    frames = y[..., idx]
+    window = jnp.asarray(hann_window(win_length))
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-9)
+    fb = jnp.asarray(
+        mel_filterbank(sample_rate, n_fft, num_mels, f_min, f_max, "slaney")
+    )
+    mel = jnp.einsum(
+        "...tf,fm->...tm", mag, fb, preferred_element_type=jnp.float32
+    )
+    return jnp.log(jnp.clip(mel, min=1e-5))

