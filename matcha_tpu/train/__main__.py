@@ -25,25 +25,47 @@ from matcha_tpu.utils.configs import compose
 
 
 def build_model_config(cfg: dict) -> MatchaConfig:
-    m = cfg.get("model", {})
+    """YAML ``model:`` section → MatchaConfig, including nested sections.
+
+    Nested ``encoder`` / ``duration_predictor`` / ``decoder`` / ``cfm``
+    overlays merge field-by-field onto the defaults (the reference's
+    experiment overlays override these freely, e.g. v19's decoder widening);
+    unknown keys raise instead of silently vanishing.
+    """
+    m = dict(cfg.get("model", {}))
     stats = cfg.get("data", {}).get("data_statistics", {})
     base = MatchaConfig()
-    return dataclasses.replace(
-        base,
-        n_spks=int(m.get("n_spks", base.n_spks)),
-        n_feats=int(m.get("n_feats", base.n_feats)),
-        spk_emb_dim=int(m.get("spk_emb_dim", base.spk_emb_dim)),
-        compute_dtype=str(m.get("compute_dtype", base.compute_dtype)),
-        prior_loss=bool(m.get("prior_loss", base.prior_loss)),
-        prior_loss_threshold=float(
-            m.get("prior_loss_threshold", base.prior_loss_threshold)
-        ),
-        duration_loss_threshold=float(
-            m.get("duration_loss_threshold", base.duration_loss_threshold)
-        ),
-        data_statistics=DataStatistics(
+    sub_types = ("encoder", "duration_predictor", "decoder", "cfm")
+    top_fields = {f.name for f in dataclasses.fields(base)}
+    kw = {}
+    for k, v in m.items():
+        if k in sub_types and isinstance(v, dict):
+            cur = getattr(base, k)
+            valid = {f.name for f in dataclasses.fields(cur)}
+            unknown = set(v) - valid
+            if unknown:
+                raise ValueError(f"unknown model.{k} config keys: {sorted(unknown)}")
+            kw[k] = dataclasses.replace(cur, **v)
+        elif k in top_fields:
+            kw[k] = v
+        else:
+            raise ValueError(f"unknown model config key: {k!r}")
+    if "data_statistics" not in kw and stats:
+        kw["data_statistics"] = DataStatistics(
             mel_mean=float(stats.get("mel_mean", -4.684777)),
             mel_std=float(stats.get("mel_std", 6.512275)),
+        )
+    out = dataclasses.replace(base, **kw)
+    # keep the encoder's mel width in lockstep with the model-level n_feats
+    if out.encoder.n_feats != out.n_feats:
+        out = dataclasses.replace(
+            out, encoder=dataclasses.replace(out.encoder, n_feats=out.n_feats)
+        )
+    return dataclasses.replace(
+        out,
+        n_spks=int(out.n_spks),
+        decoder=dataclasses.replace(
+            out.decoder, channels=tuple(out.decoder.channels)
         ),
     )
 

@@ -100,3 +100,33 @@ class TestConfigs:
         assert cfg["lr"] == 99
         assert cfg["a"] == 7
         assert cfg["nested"]["x"] == 7  # interpolation after overrides
+
+
+class TestNestedModelOverlays:
+    """Experiment overlays must reach nested model sections (the reference
+    journal overlays override encoder/decoder/dp freely, e.g. v19's
+    decoder widening; configs/experiment/*)."""
+
+    def test_shipped_overlays_compose(self):
+        from matcha_tpu.train.__main__ import build_model_config
+        from matcha_tpu.utils.configs import compose
+
+        cfg = compose("configs/train.yaml", ["experiment=v19-rescue"])
+        m = build_model_config(cfg)
+        assert m.decoder.channels == (384, 384)
+        assert m.duration_predictor.filter_channels == 96
+        assert m.encoder.prenet_kernel_size == 3
+
+        cfg = compose("configs/train.yaml", ["experiment=late-finetune"])
+        m = build_model_config(cfg)
+        assert m.prior_loss is False and m.encoder.p_dropout == 0.0
+
+    def test_unknown_keys_raise(self):
+        import pytest
+
+        from matcha_tpu.train.__main__ import build_model_config
+
+        with pytest.raises(ValueError, match="unknown model"):
+            build_model_config({"model": {"typo_key": 1}})
+        with pytest.raises(ValueError, match="unknown model.encoder"):
+            build_model_config({"model": {"encoder": {"n_chanels": 7}}})
