@@ -150,6 +150,20 @@ class MatchaSynthesizer:
             params = replicate(mesh, params)
             if vocos_params is not None:
                 vocos_params = replicate(mesh, vocos_params)
+        else:
+            # speaker-mixing blends run in host numpy — grab the tables
+            # BEFORE pinning (a post-hoc device_get can be pathologically
+            # slow on remote transports)
+            self._spk_tables_np = (
+                np.asarray(params["speaker_embeddings_enc"]["embedding"]),
+                np.asarray(params["speaker_embeddings_dur"]["embedding"]),
+            )
+            # checkpoints load as HOST numpy trees — pin them on device once,
+            # or every jit call re-uploads the full weight set (~120 MB for
+            # the production model: seconds per request on remote transports)
+            params = jax.device_put(params)
+            if vocos_params is not None:
+                vocos_params = jax.device_put(vocos_params)
         self.params = params
         self.model = MatchaTTS(cfg)
         self.vocos_cfg = vocos_cfg
@@ -243,13 +257,31 @@ class MatchaSynthesizer:
     def speaker_embedding(self, voice_mix: Sequence[tuple[int, float]]):
         """Weighted blend of speaker-embedding rows over both tables.
 
-        (reference: matcha/inference.py:57-76)
+        Computed in HOST numpy from tables cached at first use: per-request
+        device gathers would each be their own tiny XLA program (a real
+        latency hazard through remote-dispatch transports, and pointless
+        work on any backend).  (reference: matcha/inference.py:57-76)
         """
-        enc_tab = self.params["speaker_embeddings_enc"]["embedding"]
-        dur_tab = self.params["speaker_embeddings_dur"]["embedding"]
+        if not hasattr(self, "_spk_tables_np"):
+            self._spk_tables_np = (
+                np.asarray(self.params["speaker_embeddings_enc"]["embedding"]),
+                np.asarray(self.params["speaker_embeddings_dur"]["embedding"]),
+            )
+        e, d = self._speaker_embedding_np(voice_mix)
+        # jnp-wrap (pure H2D, dtype already f32): raw ndarrays would key a
+        # SEPARATE jit cache entry from the warmed device-array signature
+        return jnp.asarray(e[None]), jnp.asarray(d[None])
+
+    def _speaker_embedding_np(self, voice_mix):
+        if not hasattr(self, "_spk_tables_np"):
+            self._spk_tables_np = (
+                np.asarray(self.params["speaker_embeddings_enc"]["embedding"]),
+                np.asarray(self.params["speaker_embeddings_dur"]["embedding"]),
+            )
+        enc_tab, dur_tab = self._spk_tables_np
         enc = sum(w * enc_tab[i] for i, w in voice_mix)
         dur = sum(w * dur_tab[i] for i, w in voice_mix)
-        return jnp.asarray(enc)[None], jnp.asarray(dur)[None]
+        return np.asarray(enc, np.float32), np.asarray(dur, np.float32)
 
     def vocode(self, mel):
         """Denormalized log-mel (B, T, n_mels) → waveform (host debug path)."""
@@ -280,21 +312,25 @@ class MatchaSynthesizer:
         tx = pick_bucket(n, self.text_buckets)
         x = np.zeros((1, tx), np.int32)
         x[0, :n] = phoneme_ids
-        x_lengths = jnp.asarray([n], jnp.int32)
+        x_lengths = jnp.asarray(np.asarray([n], np.int32))
         spk_enc, spk_dur = self.speaker_embedding(voice_mix)
-        scale = jnp.asarray(scale_correction * length_scale, jnp.float32)
+        # (1, 1)-shaped so the b=1 program is the SAME executable as the
+        # batched path's (B, 1) per-sample scale — one warmup covers both
+        scale = jnp.full((1, 1), scale_correction * length_scale, jnp.float32)
 
         mu_x, durations, x_mask = self._encode_jit(
             self.params, jnp.asarray(x), x_lengths, spk_enc, spk_dur, scale
         )
 
-        total_fine = int(np.asarray(jnp.sum(durations, axis=1))[0])
+        # host-side reduction: durations come back D2H once; a device-side
+        # jnp.sum would be its own tiny compiled program per shape
+        total_fine = int(np.asarray(durations).sum(axis=1)[0])
         total_fine = max(total_fine, 2)
         # guard: clamp runaway duration predictions to the largest bucket
         # (trailing frames are truncated) rather than failing the request
         total_fine = min(total_fine, self.mel_fine_buckets[-1])
         y_fine_len = pick_bucket(total_fine, self.mel_fine_buckets)
-        y_fine_lengths = jnp.asarray([total_fine], jnp.int32)
+        y_fine_lengths = jnp.asarray(np.asarray([total_fine], np.int32))
 
         mel, wav, enc_mel = self._decode_jit(
             self.params,
@@ -309,10 +345,12 @@ class MatchaSynthesizer:
         )
 
         n_frames = (total_fine + 1) // 2
-        mel_np = np.asarray(mel[0, :n_frames])
+        # transfer whole outputs D2H once, slice on host: device-side slices
+        # would compile one tiny program per distinct request length
+        mel_np = np.asarray(mel)[0, :n_frames]
         if wav is not None:
             n_samples = max((n_frames - 1) * STD_RES_HOP_LENGTH, 0)
-            wav_np = trim_trailing_silence(np.asarray(wav[0, :n_samples]))
+            wav_np = trim_trailing_silence(np.asarray(wav)[0, :n_samples])
         else:
             wav_np = np.zeros((0,), np.float32)
         elapsed = time.perf_counter() - t0
@@ -325,7 +363,7 @@ class MatchaSynthesizer:
             wav=wav_np,
             rtf=rtf,
             mel=mel_np if debug else None,
-            durations=np.asarray(durations[0, : np.count_nonzero(x[0])])
+            durations=np.asarray(durations)[0, : np.count_nonzero(x[0])]
             if debug
             else None,
         )
@@ -357,32 +395,35 @@ class MatchaSynthesizer:
         assert b == len(voice_mixes)
         length_scales = length_scales or [1.0] * b
 
-        # multi-chip fan-out: pad the batch to a device multiple and shard it
+        # pad the batch to a power-of-2 ladder so arbitrary group sizes hit
+        # a handful of compiled programs, then to a device multiple for the
+        # multi-chip fan-out shard
         n_dev = len(self.mesh.devices.flatten()) if self.mesh is not None else 1
-        b_pad = -(-b // n_dev) * n_dev
+        b_pad = 1 << (b - 1).bit_length() if b > 1 else 1
+        b_pad = -(-b_pad // n_dev) * n_dev
         tx = pick_bucket(max(len(ids) for ids in id_lists), self.text_buckets)
         x = np.zeros((b_pad, tx), np.int32)
         for k, ids in enumerate(id_lists):
             x[k, : len(ids)] = ids
         x_lengths = jnp.asarray(
-            [len(ids) for ids in id_lists] + [1] * (b_pad - b), jnp.int32
+            np.asarray([len(ids) for ids in id_lists] + [1] * (b_pad - b), np.int32)
         )
 
         enc_rows, dur_rows, scales = [], [], []
         for k, mix in enumerate(voice_mixes):
-            e, d = self.speaker_embedding(mix)
-            enc_rows.append(e[0])
-            dur_rows.append(d[0])
+            e, d = self._speaker_embedding_np(mix)
+            enc_rows.append(e)
+            dur_rows.append(d)
             scales.append(blended_scale_correction(mix) * length_scales[k])
         pad_rows = b_pad - b
         if pad_rows:
             enc_rows.extend([enc_rows[0]] * pad_rows)
             dur_rows.extend([dur_rows[0]] * pad_rows)
             scales.extend([1.0] * pad_rows)
-        spk_enc = jnp.stack(enc_rows)
-        spk_dur = jnp.stack(dur_rows)
+        spk_enc = jnp.asarray(np.stack(enc_rows))
+        spk_dur = jnp.asarray(np.stack(dur_rows))
         # per-sample duration scale: broadcast over tokens inside _encode
-        scale = jnp.asarray(scales, jnp.float32)[:, None]
+        scale = jnp.asarray(np.asarray(scales, np.float32)[:, None])
 
         x_dev = jnp.asarray(x)
         if self.mesh is not None:
@@ -394,7 +435,7 @@ class MatchaSynthesizer:
         mu_x, durations, x_mask = self._encode_jit(
             self.params, x_dev, x_lengths, spk_enc, spk_dur, scale
         )
-        totals = np.asarray(jnp.sum(durations, axis=1)).astype(int)
+        totals = np.asarray(durations).sum(axis=1).astype(int)
         totals = np.clip(totals, 2, self.mel_fine_buckets[-1])
         y_fine_len = pick_bucket(int(totals.max()), self.mel_fine_buckets)
         mel, wav, _ = self._decode_jit(
@@ -403,7 +444,7 @@ class MatchaSynthesizer:
             mu_x,
             durations,
             x_mask,
-            jnp.asarray(totals, jnp.int32),
+            jnp.asarray(np.asarray(totals, np.int32)),
             y_fine_len=y_fine_len,
             n_timesteps=n_timesteps,
             solver=solver,
@@ -470,22 +511,25 @@ class MatchaSynthesizer:
                     pairs.append((tx, yf))
         return pairs
 
-    def _warm_pair(self, tx: int, y_fine_len: int, n_timesteps: int, solver: str):
-        """Compile stage A for ``tx`` and stage B for (tx, y_fine_len) by
-        driving the jit caches directly with synthetic tensors — this hits
-        the exact shape pair deterministically, which synthesise_ids cannot
-        (its mel bucket depends on predicted durations)."""
+    def _warm_pair(
+        self, tx: int, y_fine_len: int, n_timesteps: int, solver: str, b: int = 1
+    ):
+        """Compile stage A for ``tx`` and stage B for (tx, y_fine_len) at
+        batch size ``b`` by driving the jit caches directly with synthetic
+        tensors — this hits the exact shape triple deterministically, which
+        synthesise_ids cannot (its mel bucket depends on predicted
+        durations)."""
         n = max(tx // 2, 2)
-        x = jnp.zeros((1, tx), jnp.int32)
+        x = jnp.zeros((b, tx), jnp.int32)
         mu_x, durations, x_mask = self._encode_jit(
             self.params,
             x,
-            jnp.asarray([n], jnp.int32),
-            jnp.zeros((1, self.cfg.spk_emb_dim), jnp.float32),
-            jnp.zeros((1, self.cfg.spk_emb_dim), jnp.float32),
-            jnp.asarray(1.0, jnp.float32),
+            jnp.full((b,), n, jnp.int32),
+            jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
+            jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
+            jnp.ones((b, 1), jnp.float32),
         )
-        total = jnp.asarray([min(max(n, 2), y_fine_len)], jnp.int32)
+        total = jnp.full((b,), min(max(n, 2), y_fine_len), jnp.int32)
         out = self._decode_jit(
             self.params,
             self.vocos_params,
@@ -504,6 +548,7 @@ class MatchaSynthesizer:
         n_timesteps: int = DEFAULT_NUM_STEPS,
         solver: str = DEFAULT_ODE_SOLVER,
         full: bool = False,
+        batch_sizes: Sequence[int] = (1,),
     ):
         """Pre-compile serving programs.
 
@@ -512,6 +557,11 @@ class MatchaSynthesizer:
         compilation cache so only the first boot pays); the default warms
         each text bucket with its most likely mel bucket (~8 fine frames per
         token) plus the smallest reachable pair.
+
+        ``batch_sizes``: when serving through the micro-batcher, pass its
+        power-of-2 group ladder (e.g. (1, 2, 4, 8)) so grouped requests hit
+        pre-compiled programs too (synthesise_batch pads groups to this
+        ladder).
         """
         if full:
             pairs = self.reachable_bucket_pairs()
@@ -521,8 +571,9 @@ class MatchaSynthesizer:
                 expect = (tx // 2) * 8  # ≈8 fine frames (40 ms) per token
                 if expect <= self.mel_fine_buckets[-1]:
                     pairs.append((tx, pick_bucket(expect, self.mel_fine_buckets)))
-        for tx, yf in pairs:
-            self._warm_pair(tx, yf, n_timesteps, solver)
+        for b in batch_sizes:
+            for tx, yf in pairs:
+                self._warm_pair(tx, yf, n_timesteps, solver, b=b)
 
 
 def trim_trailing_silence(audio: np.ndarray, silence_threshold_db: float = -60.0) -> np.ndarray:

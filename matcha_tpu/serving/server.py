@@ -81,8 +81,16 @@ class TTSService:
     def warmup(self):
         # WARMUP_FULL=1 compiles every reachable (text, mel) bucket pair —
         # recompile-free serving; pair with the persistent jax cache so only
-        # the first boot of an image pays the compile time
-        self.synth.warmup(full=os.environ.get("WARMUP_FULL", "0") == "1")
+        # the first boot of an image pays the compile time.
+        # WARMUP_BATCH_SIZES (e.g. "1,2,4,8") additionally warms the
+        # micro-batcher's power-of-2 group ladder.
+        sizes = tuple(
+            int(s)
+            for s in os.environ.get("WARMUP_BATCH_SIZES", "1").split(",")
+        )
+        self.synth.warmup(
+            full=os.environ.get("WARMUP_FULL", "0") == "1", batch_sizes=sizes
+        )
         self.ready = True
 
     def speak(self, body: dict) -> tuple[bytes, str]:
@@ -213,7 +221,29 @@ def main():
     from matcha_tpu.cli import load_synthesizer
 
     synth = load_synthesizer(ckpt, os.environ.get("VOCODER_PATH"))
-    service = TTSService(synth)
+    # operational overrides: trim the bucket ladder for a known workload
+    # (fewer compiled programs, faster cold boot), disable micro-batching
+    # for A/B latency measurement (USE_BATCHER=0)
+    tb = os.environ.get("TEXT_BUCKETS")
+    mb = os.environ.get("MEL_BUCKETS")
+    if tb or mb:
+        from matcha_tpu.inference import (
+            DEFAULT_MEL_FINE_BUCKETS,
+            DEFAULT_TEXT_BUCKETS,
+            MatchaSynthesizer,
+        )
+
+        synth = MatchaSynthesizer(
+            synth.cfg,
+            synth.params,
+            synth.vocos_params,
+            synth.vocos_cfg,
+            text_buckets=tuple(int(x) for x in tb.split(",")) if tb else DEFAULT_TEXT_BUCKETS,
+            mel_fine_buckets=tuple(int(x) for x in mb.split(",")) if mb else DEFAULT_MEL_FINE_BUCKETS,
+        )
+    service = TTSService(
+        synth, use_batcher=os.environ.get("USE_BATCHER", "1") == "1"
+    )
 
     port = int(os.environ.get("PORT", "8000"))
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))

@@ -30,6 +30,14 @@ SAMPLES = [
 
 SAMPLE_RATE = 24000
 
+# --ids mode: pretokenized phoneme-ID requests for hosts without eSpeak
+# (lengths mirror the text samples; ids are valid vocab, incl. a voice mix)
+def _ids_sample(rng: random.Random, n: int) -> list[int]:
+    return [rng.randrange(1, 600) for _ in range(n)]
+
+
+ID_LENGTHS = [(24, "0"), (46, "1"), (52, "8"), (30, "13"), (110, "2"), (20, "0(50)+1(50)")]
+
 
 class Stats:
     def __init__(self):
@@ -55,13 +63,29 @@ class Stats:
                 self.audio_seconds.append(audio_sec)
 
 
-def user_loop(host: str, stats: Stats, stop: threading.Event, seed: int):
+def user_loop(
+    host: str,
+    stats: Stats,
+    stop: threading.Event,
+    seed: int,
+    use_ids: bool = False,
+    speed: float | None = None,
+):
     rng = random.Random(seed)
     while not stop.is_set():
-        text, voice = rng.choice(SAMPLES)
-        body = json.dumps(
-            {"input": text, "voice": voice, "response_format": "pcm"}
-        ).encode()
+        if use_ids:
+            n, voice = rng.choice(ID_LENGTHS)
+            payload = {
+                "phoneme_ids": _ids_sample(rng, n),
+                "voice": voice,
+                "response_format": "pcm",
+            }
+        else:
+            text, voice = rng.choice(SAMPLES)
+            payload = {"input": text, "voice": voice, "response_format": "pcm"}
+        if speed is not None:
+            payload["speed"] = speed
+        body = json.dumps(payload).encode()
         req = urllib.request.Request(
             f"{host}/v1/audio/speech",
             data=body,
@@ -87,12 +111,21 @@ def main(argv=None):
     parser.add_argument("--host", default="http://localhost:8000")
     parser.add_argument("--users", type=int, default=10)
     parser.add_argument("--minutes", type=float, default=1.0)
+    parser.add_argument(
+        "--ids", action="store_true",
+        help="POST pretokenized phoneme_ids (for hosts without eSpeak)",
+    )
+    parser.add_argument("--speed", type=float, default=None)
     args = parser.parse_args(argv)
 
     stats = Stats()
     stop = threading.Event()
     threads = [
-        threading.Thread(target=user_loop, args=(args.host, stats, stop, i), daemon=True)
+        threading.Thread(
+            target=user_loop,
+            args=(args.host, stats, stop, i, args.ids, args.speed),
+            daemon=True,
+        )
         for i in range(args.users)
     ]
     t0 = time.time()
