@@ -42,6 +42,12 @@ class RequestBatcher:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.q: queue.Queue[_Pending] = queue.Queue()
+        # watchdog: wall-clock of the currently-executing group (0 = idle).
+        # A backend stuck inside a dispatch cannot be interrupted from
+        # Python; what CAN be done is fail fast + flip /health so an
+        # orchestrator restarts the pod (docker/ ships a HEALTHCHECK).
+        self._run_started = 0.0
+        self.wedge_threshold_s = 60.0
         # requests whose (steps, solver) didn't match the group being
         # gathered; they seed the NEXT group (only touched by the loop thread)
         self._deferred: deque[_Pending] = deque()
@@ -58,11 +64,21 @@ class RequestBatcher:
         solver: str = "midpoint",
         voice_mix: list[tuple[int, float]] | None = None,
     ) -> Future:
+        if self.wedged:
+            raise RuntimeError(
+                "synthesis backend wedged (a group has been executing "
+                f"> {self.wedge_threshold_s:.0f}s); restart the server"
+            )
         if voice_mix is None:
             voice_mix = [(int(speaker or 0), 1.0)]
         item = _Pending(ids, voice_mix, length_scale, n_timesteps, solver)
         self.q.put(item)
         return item.future
+
+    @property
+    def wedged(self) -> bool:
+        started = self._run_started
+        return bool(started) and _time.monotonic() - started > self.wedge_threshold_s
 
     def shutdown(self):
         self._stop.set()
@@ -110,6 +126,7 @@ class RequestBatcher:
             self._run(group)
 
     def _run(self, group: list[_Pending]):
+        self._run_started = _time.monotonic()
         try:
             results = self.synth.synthesise_batch(
                 [g.ids for g in group],
@@ -124,3 +141,5 @@ class RequestBatcher:
             for g in group:
                 if not g.future.done():
                     g.future.set_exception(exc)
+        finally:
+            self._run_started = 0.0

@@ -76,7 +76,11 @@ class TTSService:
         if use_batcher:
             from matcha_tpu.serving.batcher import RequestBatcher
 
-            self.batcher = RequestBatcher(synthesizer)
+            self.batcher = RequestBatcher(
+                synthesizer,
+                max_batch=int(os.environ.get("BATCHER_MAX_BATCH", "8")),
+                max_wait_ms=float(os.environ.get("BATCHER_MAX_WAIT_MS", "15")),
+            )
 
     def warmup(self):
         # WARMUP_FULL=1 compiles every reachable (text, mel) bucket pair —
@@ -176,7 +180,10 @@ def make_handler(service: TTSService):
 
         def do_GET(self):
             if self.path == "/health":
-                if service.ready:
+                if service.batcher is not None and service.batcher.wedged:
+                    # flips the Docker HEALTHCHECK so the pod gets restarted
+                    self._send(503, b'{"status":"wedged"}')
+                elif service.ready:
                     self._send(200, b'{"status":"ok"}')
                 else:
                     self._send(503, b'{"status":"loading"}')

@@ -117,3 +117,33 @@ def test_deferred_requests_eventually_group_together():
         assert len(euler_calls) == 1 and len(euler_calls[0]["ids"]) == 2
     finally:
         b.shutdown()
+
+
+class TestWedgeWatchdog:
+    def test_wedged_submit_fails_fast(self):
+        """A group stuck in the backend past the threshold must fail new
+        submissions immediately instead of queueing them into a dead loop."""
+        import threading
+        import time
+
+        block = threading.Event()
+
+        class SlowSynth:
+            def synthesise_batch(self, id_lists, **kw):
+                block.wait(5.0)
+                return [None] * len(id_lists)
+
+        b = RequestBatcher(SlowSynth(), max_batch=2, max_wait_ms=1)
+        b.wedge_threshold_s = 0.2
+        fut = b.submit([1, 2, 3], speaker=0)
+        time.sleep(0.5)  # loop is now inside the blocked _run
+        assert b.wedged
+        try:
+            import pytest
+
+            with pytest.raises(RuntimeError, match="wedged"):
+                b.submit([4, 5], speaker=0)
+        finally:
+            block.set()
+            fut.result(timeout=5)
+            b.shutdown()
