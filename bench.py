@@ -87,7 +87,7 @@ def main():
     x_lengths = jnp.full((batch,), tx, jnp.int32)
     spk_enc = jnp.zeros((batch, cfg.spk_emb_dim), jnp.float32)
     spk_dur = jnp.zeros((batch, cfg.spk_emb_dim), jnp.float32)
-    scale = jnp.asarray(1.0, jnp.float32)
+    scale = jnp.ones((batch, 1), jnp.float32)  # production (B,1) signature
 
     def run_a(x):
         return synth._encode_jit(synth.params, x, x_lengths, spk_enc, spk_dur, scale)
