@@ -212,16 +212,22 @@ class MatchaSynthesizer:
         solver: str,
     ):
         y_fine_mask = sequence_mask(y_fine_lengths, y_fine_len).astype(jnp.float32)
-        attn_mask = x_mask[:, :, None] * y_fine_mask[:, None, :]
-        attn = generate_path(durations.astype(jnp.int32), attn_mask)
-        # fp32 prior assembly (bf16 matmul precision is not enough here;
-        # reference: inference.py:154-160)
-        mu_y_fine = jnp.einsum(
-            "bij,bic->bjc",
-            attn.astype(jnp.float32),
-            mu_x.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+        # prior assembly as an fp32 GATHER: the binary alignment path selects
+        # exactly one token per frame, so searchsorted over the duration
+        # cumsum is bit-identical to the reference's dense path matmul
+        # (inference.py:154-160) at O(B·Ty·C) instead of O(B·Tx·Ty·C), and
+        # never materializes the (B, Tx, Ty) attention tensor.  side='right'
+        # skips zero-duration tokens exactly like generate_path.
+        cum = jnp.cumsum(durations.astype(jnp.int32), axis=1)  # (B, Tx)
+        frames = jnp.arange(y_fine_len, dtype=jnp.int32)
+        idx = jax.vmap(
+            lambda c: jnp.searchsorted(c, frames, side="right")
+        )(cum)
+        idx = jnp.clip(idx, 0, mu_x.shape[1] - 1)
+        mu_y_fine = jnp.take_along_axis(
+            mu_x.astype(jnp.float32), idx[..., None], axis=1
         )
+        mu_y_fine = mu_y_fine * y_fine_mask[..., None]
         mu_y = downsample_time(mu_y_fine)
         y_lengths = (y_fine_lengths + 1) // 2
         y_mask = sequence_mask(y_lengths, mu_y.shape[1]).astype(jnp.float32)

@@ -185,3 +185,39 @@ class TestServingLayer:
         results = [f.result(timeout=120) for f in futures]
         assert all(np.isfinite(r.wav).all() for r in results)
         batcher.shutdown()
+
+
+class TestGatherAlignmentEquivalence:
+    """The searchsorted-gather prior assembly must be bit-identical to the
+    dense generate_path einsum it replaced (reference: inference.py:154-160)."""
+
+    def test_matches_dense_path_matmul(self):
+        import jax
+        import jax.numpy as jnp
+
+        from matcha_tpu.utils.model_math import generate_path, sequence_mask
+
+        rng = np.random.default_rng(5)
+        b, tx, yf, c = 3, 12, 40, 6
+        mu_x = jnp.asarray(rng.standard_normal((b, tx, c)).astype(np.float32))
+        x_lens = np.array([12, 7, 9])
+        x_mask = np.asarray(sequence_mask(jnp.asarray(x_lens), tx), np.float32)
+        dur = rng.integers(0, 5, (b, tx)).astype(np.float32) * x_mask
+        totals = np.minimum(dur.sum(axis=1).astype(np.int32), yf)
+        y_fine_mask = np.asarray(
+            sequence_mask(jnp.asarray(totals), yf), np.float32
+        )
+
+        attn_mask = x_mask[:, :, None] * y_fine_mask[:, None, :]
+        attn = generate_path(jnp.asarray(dur, jnp.int32), jnp.asarray(attn_mask))
+        dense = np.einsum("bij,bic->bjc", np.asarray(attn, np.float32), np.asarray(mu_x))
+
+        cum = jnp.cumsum(jnp.asarray(dur, jnp.int32), axis=1)
+        frames = jnp.arange(yf, dtype=jnp.int32)
+        idx = jax.vmap(lambda cc: jnp.searchsorted(cc, frames, side="right"))(cum)
+        idx = jnp.clip(idx, 0, tx - 1)
+        gather = np.asarray(
+            jnp.take_along_axis(mu_x, idx[..., None], axis=1)
+            * jnp.asarray(y_fine_mask)[..., None]
+        )
+        np.testing.assert_array_equal(gather, dense)
