@@ -226,6 +226,38 @@ class Trainer:
             return shard_batch(self.mesh, batch)
         return batch
 
+    def _prefetch(self, gen, depth: int = 2):
+        '''Overlap host-side collate + H2D transfer with device compute.
+
+        A producer thread runs ``_put`` ``depth`` batches ahead while the
+        main thread dispatches training steps (the reference gets the same
+        overlap from DataLoader workers + pin_memory,
+        text_mel_datamodule.py).  Worker exceptions re-raise in the
+        consumer.
+        '''
+        import queue as _queue
+        import threading as _threading
+
+        q: _queue.Queue = _queue.Queue(maxsize=depth)
+        done = object()
+
+        def worker():
+            try:
+                for b in gen:
+                    q.put(self._put(b))
+                q.put(done)
+            except BaseException as exc:  # propagate into the train loop
+                q.put(exc)
+
+        _threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def fit(self, resume_from: str | None = None, max_steps: int | None = None):
         state = self.init_state(resume_from)
         n_params = sum(
@@ -240,12 +272,14 @@ class Trainer:
         while not done and (self.cfg.max_epochs < 0 or epoch < self.cfg.max_epochs):
             t_epoch = time.time()
             losses = []
-            for batch in epoch_batches(
-                self.train_ds, self.sampler, epoch, self.text_bucket
+            for dev_batch in self._prefetch(
+                epoch_batches(self.train_ds, self.sampler, epoch, self.text_bucket)
             ):
-                state, metrics = self.train_step(state, self._put(batch), rng)
+                state, metrics = self.train_step(state, dev_batch, rng)
                 step = int(state.step)
-                losses.append(float(np.asarray(metrics["loss"])))
+                # keep the loss as a device scalar: forcing a host float
+                # here would sync every step and serialize the pipeline
+                losses.append(metrics["loss"])
                 if step % self.cfg.log_every_n_steps == 0:
                     self.logger.log(step, metrics)
                 if max_steps is not None and step >= max_steps:
@@ -254,7 +288,11 @@ class Trainer:
             self.logger.log(
                 int(state.step),
                 {
-                    "loss/train_epoch": float(np.mean(losses)) if losses else 0.0,
+                    "loss/train_epoch": float(
+                        np.mean([np.asarray(l) for l in losses])
+                    )
+                    if losses
+                    else 0.0,
                     "epoch": epoch,
                     "epoch_seconds": time.time() - t_epoch,
                 },
