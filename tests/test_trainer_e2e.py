@@ -142,3 +142,34 @@ class TestTrainerEndToEnd:
             - np.asarray(state.params["encoder"]["emb"]["embedding"])
         ).max()
         assert d > 0
+
+
+class TestPrefetch:
+    def test_order_and_error_propagation(self, corpus):
+        root, filelist, mel_dir = corpus
+        ds = TextMelDataset(filelist, mel_dir)
+        tcfg = TrainerConfig(
+            output_dir=str(root / "pf"), max_epochs=1, use_mesh=False,
+            check_val_every_n_epoch=100, checkpoint_every_n_epochs=100,
+            log_every_n_steps=1,
+        )
+        trainer = Trainer(
+            model_cfg=CFG, opt_cfg=OptimizerConfig(), trainer_cfg=tcfg,
+            train_dataset=ds, max_frames_per_batch=256, len_bucket=16,
+            text_bucket=16,
+        )
+        # order preserved
+        items = list(trainer._prefetch(iter([1, 2, 3, 4])))
+        assert items == [1, 2, 3, 4]
+
+        # a worker exception surfaces in the consumer
+        def boom():
+            yield 1
+            raise ValueError("collate failed")
+
+        import pytest
+
+        gen = trainer._prefetch(boom())
+        assert next(gen) == 1
+        with pytest.raises(ValueError, match="collate failed"):
+            list(gen)
