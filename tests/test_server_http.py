@@ -112,3 +112,53 @@ class TestHttpServer:
             assert False
         except urllib.error.HTTPError as exc:
             assert exc.code == 404
+
+
+@pytest.fixture(scope="module")
+def mesh_server():
+    """Server over an 8-device mesh: batched groups shard across chips."""
+    from matcha_tpu.parallel.mesh import make_mesh
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    vocos_params = init_vocos_params(jax.random.PRNGKey(1), VCFG)
+    synth = MatchaSynthesizer(
+        CFG, params, vocos_params, VCFG,
+        text_buckets=(16, 32), mel_fine_buckets=(64, 128, 256),
+        mesh=make_mesh(jax.devices()[:8]),
+    )
+    service = TTSService(synth, use_batcher=True)
+    service.ready = True
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{port}", service
+    httpd.shutdown()
+    if service.batcher:
+        service.batcher.shutdown()
+
+
+class TestMeshServer:
+    def test_concurrent_requests_shard_over_mesh(self, mesh_server):
+        """Concurrent requests through the batcher execute on the sharded
+        path and return per-request audio (SERVE_MESH=1 production mode)."""
+        base, _ = mesh_server
+        rng = np.random.default_rng(3)
+        results = {}
+
+        def one(k, n):
+            ids = [int(v) for v in rng.integers(0, 600, n)]
+            status, ctype, data = post(
+                f"{base}/v1/audio/speech",
+                {"phoneme_ids": ids, "voice": str(k % 4), "response_format": "pcm"},
+            )
+            results[k] = (status, len(data))
+
+        threads = [
+            threading.Thread(target=one, args=(k, 6 + k)) for k in range(5)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert len(results) == 5
+        assert all(st == 200 and n > 0 for st, n in results.values())
