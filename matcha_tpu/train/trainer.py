@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from matcha_tpu.data.collate import epoch_batches
@@ -124,6 +125,7 @@ class Trainer:
             )
         else:
             self.valid_sampler = None
+        self.trainable_mask = trainable_mask
         self.tx = build_optimizer(opt_cfg, trainable_mask=trainable_mask)
         self.train_step, self.eval_step = make_train_step(
             model_cfg, self.tx, mesh=self.mesh
@@ -171,10 +173,25 @@ class Trainer:
         * speaker-table auto-expansion: resuming a checkpoint trained with
           fewer speakers than cfg.n_spks zero-extends both embedding tables
           AND their Adam moment rows (reference: baselightningmodule.py:99-131)
+        * fine-tune resumes (a trainable_mask is set) load PARAMS only and
+          start the masked optimizer fresh: the full-training checkpoint's
+          optimizer tree does not match the masked transformation (the
+          reference remaps optimizer state to the 2-param setup the same
+          way, finetune_speaker.py:75-99)
         """
         state = init_train_state(
             self.model_cfg, self.tx, jax.random.PRNGKey(self.cfg.seed)
         )
+        if resume_from and self.trainable_mask is not None:
+            # flax params are plain nested dicts — no template needed; the
+            # checkpoint's (unmasked) optimizer tree is discarded
+            tree, _ = load_checkpoint(resume_from)
+            params = jax.tree.map(jnp.asarray, tree["params"])
+            return TrainState(
+                params=params,
+                opt_state=self.tx.init(params),
+                step=state.step,
+            )
         if resume_from:
             import dataclasses
 

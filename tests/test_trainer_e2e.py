@@ -173,3 +173,73 @@ class TestPrefetch:
         assert next(gen) == 1
         with pytest.raises(ValueError, match="collate failed"):
             list(gen)
+
+
+class TestFinetuneSpeakerCli:
+    def test_cli_updates_only_target_speaker_rows(self, corpus):
+        """python -m matcha_tpu.finetune_speaker end-to-end: only the target
+        speaker's embedding rows move; every other parameter is untouched
+        (reference: matcha/finetune_speaker.py:32-55)."""
+        import dataclasses as dc
+
+        from matcha_tpu.finetune_speaker import main as finetune_main
+        from matcha_tpu.train.checkpoint import load_checkpoint
+
+        root, filelist, mel_dir = corpus
+        base_dir = root / "ft_base" / "checkpoints"
+        if not base_dir.is_dir():  # self-sufficient when run in isolation
+            make_trainer(corpus, "ft_base", max_epochs=1).fit()
+        ckpt = sorted(base_dir.glob("epoch_*"))[-1]
+        before, _ = load_checkpoint(str(ckpt))
+
+        cfg = {
+            "run_name": "ft",
+            "seed": 7,
+            "data": {
+                "train_filelist_path": str(filelist),
+                "mel_dir": str(mel_dir),
+                "max_frames_per_batch": 256,
+                "len_bucket": 16,
+                "text_bucket": 16,
+            },
+            "model": dc.asdict(CFG),
+            "optimizer": {"lr": 1e-2, "weight_decay": 0.0},
+            "trainer": {
+                "max_epochs": 1,
+                "check_val_every_n_epoch": 100,
+                "checkpoint_every_n_epochs": 1,
+                "log_every_n_steps": 1,
+            },
+            "paths": {"output_dir": str(root / "ft_out")},
+            "ckpt_path": str(ckpt),
+        }
+        cfg_path = root / "ft.yaml"
+        cfg_path.write_text(json.dumps(cfg))
+
+        target = 1
+        finetune_main(["--config", str(cfg_path), "--target_speaker", str(target)])
+
+        out_ckpts = sorted((root / "ft_out" / "checkpoints").glob("epoch_*"))
+        assert out_ckpts
+        after, _ = load_checkpoint(str(out_ckpts[-1]))
+
+        for tab in ("speaker_embeddings_enc", "speaker_embeddings_dur"):
+            b = np.asarray(before["params"][tab]["embedding"])
+            a = np.asarray(after["params"][tab]["embedding"])
+            moved = np.abs(a - b).max(axis=1)
+            assert moved[target] > 0, f"{tab}: target row did not move"
+            others = np.delete(moved, target)
+            assert np.all(others == 0), f"{tab}: non-target rows moved"
+
+        # everything outside the two tables is bit-identical
+        import jax
+
+        flat_b = jax.tree_util.tree_flatten_with_path(before["params"])[0]
+        flat_a = dict(jax.tree_util.tree_flatten_with_path(after["params"])[0])
+        for path, leaf in flat_b:
+            key = jax.tree_util.keystr(path)
+            if "speaker_embeddings" in key:
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(leaf), np.asarray(flat_a[path]), err_msg=key
+            )
