@@ -42,7 +42,8 @@ def main(argv=None):
         style_params = pickle.load(f)
     style = StyleEncoder(spk_emb_dim=cfg.spk_emb_dim)
 
-    mel_cfg = MelConfig().fine  # StyleEncoder consumes fine (hop-128) mels
+    # StyleEncoder consumes fine (hop-128) mels with the model's mel width
+    mel_cfg = MelConfig(n_mels=cfg.n_feats).fine
     stats = cfg.data_statistics
     enc_rows, dur_rows = [], []
     wavs = sorted(Path(args.wav_dir).glob("*.wav"))

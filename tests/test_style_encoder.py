@@ -70,3 +70,52 @@ class TestStyleEncoder:
             lambda a, b: a + float(jnp.sum(jnp.abs(b))), grads, 0.0
         )
         assert gnorm > 0.0
+
+
+class TestAddSpeakerCli:
+    def test_cli_appends_predicted_rows(self, tmp_path):
+        """python -m matcha_tpu.add_speaker end-to-end on a tiny checkpoint:
+        the output checkpoint gains one row in both tables (predicted by the
+        StyleEncoder from the new speaker's wavs) and n_spks is bumped
+        (reference: matcha/add_speaker.py:40-101)."""
+        import pickle
+
+        from matcha_tpu.add_speaker import main as add_speaker_main
+        from matcha_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+        params = init_params(CFG, jax.random.PRNGKey(0))
+        save_checkpoint(
+            tmp_path / "base", {"params": params, "step": 0, "epoch": 0}, CFG
+        )
+        style_params = init_style_params(CFG, jax.random.PRNGKey(1))
+        with open(tmp_path / "style.pkl", "wb") as f:
+            pickle.dump(jax.device_get(style_params), f)
+
+        import wave as wave_mod
+
+        wav_dir = tmp_path / "newspk"
+        wav_dir.mkdir()
+        rng = np.random.default_rng(2)
+        for k in range(2):
+            pcm = (rng.uniform(-0.3, 0.3, 24000) * 32767).astype("<i2")
+            with wave_mod.open(str(wav_dir / f"rec{k}.wav"), "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(24000)
+                f.writeframes(pcm.tobytes())
+
+        add_speaker_main([
+            "--checkpoint_path", str(tmp_path / "base"),
+            "--style_params", str(tmp_path / "style.pkl"),
+            "--wav_dir", str(wav_dir),
+            "--output", str(tmp_path / "out"),
+        ])
+
+        tree2, cfg2 = load_checkpoint(str(tmp_path / "out"))
+        assert cfg2.n_spks == CFG.n_spks + 1
+        for tab in ("speaker_embeddings_enc", "speaker_embeddings_dur"):
+            old = np.asarray(params[tab]["embedding"])
+            new = np.asarray(tree2["params"][tab]["embedding"])
+            assert new.shape == (CFG.n_spks + 1, CFG.spk_emb_dim)
+            np.testing.assert_array_equal(new[:-1], old)
+            assert np.isfinite(new[-1]).all() and np.abs(new[-1]).max() > 0
