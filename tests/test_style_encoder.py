@@ -119,3 +119,65 @@ class TestAddSpeakerCli:
             assert new.shape == (CFG.n_spks + 1, CFG.spk_emb_dim)
             np.testing.assert_array_equal(new[:-1], old)
             assert np.isfinite(new[-1]).all() and np.abs(new[-1]).max() > 0
+
+
+class TestTrainStyleEncoderCli:
+    def test_cli_trains_and_saves_params(self, tmp_path):
+        """python -m matcha_tpu.train_style_encoder end-to-end: one epoch on
+        a synthetic corpus against a frozen tiny checkpoint produces a
+        loadable style_params.pkl with finite loss."""
+        import json as json_mod
+        import pickle
+
+        from matcha_tpu.train.checkpoint import save_checkpoint
+        from matcha_tpu.train_style_encoder import main as tse_main
+
+        params = init_params(CFG, jax.random.PRNGKey(0))
+        save_checkpoint(
+            tmp_path / "base", {"params": params, "step": 0, "epoch": 0}, CFG
+        )
+
+        mel_dir = tmp_path / "mels"
+        (mel_dir / "s").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(6):
+            rel = f"s/u{i}"
+            frames = int(rng.integers(12, 30))
+            np.save(mel_dir / f"{rel}.npy",
+                    rng.standard_normal((CFG.n_feats, frames)).astype(np.float32))
+            np.save(mel_dir / f"{rel}.fine.npy",
+                    rng.standard_normal((CFG.n_feats, 2 * frames)).astype(np.float32))
+            ids = " ".join(str(v) for v in rng.integers(0, 600, 8))
+            rows.append(f"{rel}|{i % CFG.n_spks}|en-us|t{i}|{ids}")
+        (mel_dir / "metadata.json").write_text('{"n_mels": %d}' % CFG.n_feats)
+        filelist = tmp_path / "train.csv"
+        filelist.write_text("\n".join(rows))
+
+        cfg = {
+            "seed": 3,
+            "data": {
+                "train_filelist_path": str(filelist),
+                "mel_dir": str(mel_dir),
+                "max_frames_per_batch": 256,
+                "len_bucket": 16,
+                "text_bucket": 16,
+            },
+            "paths": {"output_dir": str(tmp_path / "style_out")},
+            "ckpt_path": str(tmp_path / "base"),
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(json_mod.dumps(cfg))
+
+        tse_main(["--config", str(cfg_path), "--max_epochs", "1"])
+
+        out = tmp_path / "style_out" / "style_params.pkl"
+        assert out.exists()
+        with open(out, "rb") as f:
+            sp = pickle.load(f)
+        assert all(np.isfinite(l).all() for l in jax.tree_util.tree_leaves(sp))
+        metrics = [
+            json_mod.loads(l)
+            for l in (tmp_path / "style_out" / "metrics.jsonl").read_text().splitlines()
+        ]
+        assert metrics and np.isfinite(metrics[-1]["loss"])
