@@ -97,12 +97,15 @@ def main():
     # through the remote-compile tunnel even that costs seconds on first use)
     _ = float(jnp.sum(durations[:, :8]))
 
-    t0 = time.perf_counter()
     checksum = 0.0
+    times_a = []
     for i in range(iters):
+        t0 = time.perf_counter()
         mu_x_i, dur_i, _ = run_a(x_all[i])
         checksum += float(jnp.sum(dur_i[:, :8]))  # force exec + D2H per iter
-    elapsed_a = (time.perf_counter() - t0) / iters
+        times_a.append(time.perf_counter() - t0)
+    # median: robust to transport stragglers (tunnel round-trips vary 2x)
+    elapsed_a = float(np.median(times_a))
 
     # ---- stage B: the durations stage A just predicted, production bucket ----
     totals = jnp.minimum(
@@ -126,13 +129,14 @@ def main():
     w = run_b(mu_x)  # warmup/compile
     _ = float(jnp.sum(w[:, :8]))
 
-    t0 = time.perf_counter()
+    times_b = []
     for i in range(iters):
+        t0 = time.perf_counter()
         # vary input per iter so the tunnel cannot dedupe executions
         wav = run_b(mu_x + jnp.float32(i) * 1e-6)
         checksum += float(jnp.sum(wav[:, :8]))  # force exec + D2H per iter
-    wav.block_until_ready()
-    elapsed_b = (time.perf_counter() - t0) / iters
+        times_b.append(time.perf_counter() - t0)
+    elapsed_b = float(np.median(times_b))
 
     elapsed = elapsed_a + elapsed_b
     coarse_frames = y_fine_len // 2
