@@ -32,7 +32,16 @@ def write_wav(path: Path, wav: np.ndarray, sample_rate: int = SAMPLE_RATE):
         f.writeframes(pcm.tobytes())
 
 
-def load_synthesizer(checkpoint_path: str, vocoder_path: str | None) -> MatchaSynthesizer:
+def load_synthesizer(
+    checkpoint_path: str, vocoder_path: str | None, **synth_kwargs
+) -> MatchaSynthesizer:
+    """Checkpoint dir (+ optional Vocos pickle) → ready synthesizer.
+
+    ``synth_kwargs`` (text_buckets, mel_fine_buckets, mesh, ...) pass
+    through to MatchaSynthesizer so callers construct it exactly once —
+    the constructor pins the full weight set on device, which must not be
+    paid twice.
+    """
     from matcha_tpu.train.checkpoint import load_checkpoint
     from matcha_tpu.vocoder.vocos import VocosConfig
 
@@ -43,7 +52,9 @@ def load_synthesizer(checkpoint_path: str, vocoder_path: str | None) -> MatchaSy
 
         with open(vocoder_path, "rb") as f:
             vocos_params = pickle.load(f)
-    return MatchaSynthesizer(cfg, tree["params"], vocos_params, VocosConfig())
+    return MatchaSynthesizer(
+        cfg, tree["params"], vocos_params, VocosConfig(), **synth_kwargs
+    )
 
 
 def main(argv=None):

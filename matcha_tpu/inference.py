@@ -144,6 +144,13 @@ class MatchaSynthesizer:
         a v5e-8 host serves 8x the batch at single-chip latency."""
         self.cfg = cfg
         self.mesh = mesh
+        # speaker-mixing blends run in host numpy — grab the tables BEFORE
+        # pinning/replication (a post-hoc device_get can be pathologically
+        # slow on remote transports)
+        self._spk_tables_np = (
+            np.asarray(params["speaker_embeddings_enc"]["embedding"]),
+            np.asarray(params["speaker_embeddings_dur"]["embedding"]),
+        )
         if mesh is not None:
             from matcha_tpu.parallel.mesh import replicate
 
@@ -151,13 +158,6 @@ class MatchaSynthesizer:
             if vocos_params is not None:
                 vocos_params = replicate(mesh, vocos_params)
         else:
-            # speaker-mixing blends run in host numpy — grab the tables
-            # BEFORE pinning (a post-hoc device_get can be pathologically
-            # slow on remote transports)
-            self._spk_tables_np = (
-                np.asarray(params["speaker_embeddings_enc"]["embedding"]),
-                np.asarray(params["speaker_embeddings_dur"]["embedding"]),
-            )
             # checkpoints load as HOST numpy trees — pin them on device once,
             # or every jit call re-uploads the full weight set (~120 MB for
             # the production model: seconds per request on remote transports)
@@ -368,6 +368,7 @@ class MatchaSynthesizer:
         result = SynthesisResult(
             wav=wav_np,
             rtf=rtf,
+            latency_s=elapsed,
             mel=mel_np if debug else None,
             durations=np.asarray(durations)[0, : np.count_nonzero(x[0])]
             if debug
@@ -526,15 +527,20 @@ class MatchaSynthesizer:
         synthesise_ids cannot (its mel bucket depends on predicted
         durations)."""
         n = max(tx // 2, 2)
-        x = jnp.zeros((b, tx), jnp.int32)
-        mu_x, durations, x_mask = self._encode_jit(
-            self.params,
-            x,
+        args = (
+            jnp.zeros((b, tx), jnp.int32),
             jnp.full((b,), n, jnp.int32),
             jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
             jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
             jnp.ones((b, 1), jnp.float32),
         )
+        if self.mesh is not None:
+            # warm inputs must carry the SAME shardings the batched serving
+            # path uses, or every "warmed" program is a cache miss there
+            from matcha_tpu.parallel.mesh import shard_batch
+
+            args = shard_batch(self.mesh, args)
+        mu_x, durations, x_mask = self._encode_jit(self.params, *args)
         total = jnp.full((b,), min(max(n, 2), y_fine_len), jnp.int32)
         out = self._decode_jit(
             self.params,
@@ -569,14 +575,20 @@ class MatchaSynthesizer:
         pre-compiled programs too (synthesise_batch pads groups to this
         ladder).
         """
+        if self.mesh is not None:
+            # batched serving pads every group to a device multiple — warm
+            # the same padded sizes (a b=1 shard over 8 chips cannot exist)
+            n_dev = len(self.mesh.devices.flatten())
+            batch_sizes = sorted({-(-b // n_dev) * n_dev for b in batch_sizes})
         if full:
             pairs = self.reachable_bucket_pairs()
         else:
             pairs = []
             for tx in self.text_buckets:
                 expect = (tx // 2) * 8  # ≈8 fine frames (40 ms) per token
-                if expect <= self.mel_fine_buckets[-1]:
-                    pairs.append((tx, pick_bucket(expect, self.mel_fine_buckets)))
+                expect = min(expect, self.mel_fine_buckets[-1])  # clamp: every
+                # text bucket gets a warm pair even past the mel ladder top
+                pairs.append((tx, pick_bucket(expect, self.mel_fine_buckets)))
         for b in batch_sizes:
             for tx, yf in pairs:
                 self._warm_pair(tx, yf, n_timesteps, solver, b=b)

@@ -84,6 +84,13 @@ class MatchaConfig:
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     cfm: CFMConfig = field(default_factory=CFMConfig)
     data_statistics: DataStatistics = field(default_factory=DataStatistics)
+    # MAS implementation: "auto" (Pallas on single-chip TPU, scan
+    # elsewhere), "scan", or "pallas".  The trainer forces "scan" under a
+    # multi-chip mesh: a pallas_call inside a GSPMD-sharded jit has no
+    # partitioning rule for the batch-sharded log-prior, and that
+    # combination cannot be validated without real multi-chip TPU hardware
+    # (a shard_map wrapping is the future path).
+    mas_backend: str = "auto"
     prior_loss: bool = True
     prior_loss_threshold: float = 0.03   # Huber delta for the prior loss
     duration_loss_threshold: float = 1.0  # Huber delta for the duration loss

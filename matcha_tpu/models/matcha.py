@@ -120,7 +120,9 @@ class MatchaTTS(nn.Module):
         )
         # (B, Ty_fine) frame→token indices; -1 on padding frames
         idx = jax.lax.stop_gradient(
-            maximum_path_indices_auto(log_prior, x_lengths, y_fine_lengths)
+            maximum_path_indices_auto(
+                log_prior, x_lengths, y_fine_lengths, backend=cfg.mas_backend
+            )
         )
 
         # ---- duration loss ----

@@ -127,16 +127,24 @@ def durations_from_indices(idx: jax.Array, t_x: int) -> jax.Array:
 
 
 def maximum_path_indices_auto(
-    value: jax.Array, x_lengths: jax.Array, y_lengths: jax.Array
+    value: jax.Array,
+    x_lengths: jax.Array,
+    y_lengths: jax.Array,
+    backend: str = "auto",
 ) -> jax.Array:
     """Backend-dispatched MAS: the Pallas kernel on TPU (~2× the scan at
     training shapes — measured 1.69 vs 3.37 ms at B=32, Tx=128, Ty=1024 on
     v5e), the portable `lax.scan` wavefront everywhere else.
 
-    The choice is made at trace time (backend is static under jit), so this
-    is safe to call from inside a jitted training step.
+    ``backend``: "auto" | "pallas" | "scan" (cfg.mas_backend).  The choice
+    is made at trace time (static under jit), so this is safe to call from
+    inside a jitted training step.  Multi-chip mesh steps must pass "scan"
+    — see MatchaConfig.mas_backend.
     """
-    if jax.default_backend() == "tpu":
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
         from matcha_tpu.ops.mas_pallas import maximum_path_indices_pallas
 
         return maximum_path_indices_pallas(value, x_lengths, y_lengths)

@@ -46,8 +46,14 @@ class RequestBatcher:
         # A backend stuck inside a dispatch cannot be interrupted from
         # Python; what CAN be done is fail fast + flip /health so an
         # orchestrator restarts the pod (docker/ ships a HEALTHCHECK).
+        # The threshold must exceed the worst legitimate inline compile of
+        # an unwarmed shape (minutes on TPU) — warm the full ladder
+        # (WARMUP_FULL=1 + WARMUP_BATCH_SIZES) to make 300 s conservative,
+        # or tune via BATCHER_WEDGE_S.
+        import os as _os
+
         self._run_started = 0.0
-        self.wedge_threshold_s = 60.0
+        self.wedge_threshold_s = float(_os.environ.get("BATCHER_WEDGE_S", "300"))
         # requests whose (steps, solver) didn't match the group being
         # gathered; they seed the NEXT group (only touched by the loop thread)
         self._deferred: deque[_Pending] = deque()

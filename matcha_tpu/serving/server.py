@@ -227,37 +227,31 @@ def main():
         raise SystemExit("Set CHECKPOINT_PATH to a checkpoint directory")
     from matcha_tpu.cli import load_synthesizer
 
-    synth = load_synthesizer(ckpt, os.environ.get("VOCODER_PATH"))
     # operational overrides: trim the bucket ladder for a known workload
     # (fewer compiled programs, faster cold boot), disable micro-batching
     # for A/B latency measurement (USE_BATCHER=0), SERVE_MESH=1 fans batched
     # groups out over every local chip (params replicated, batch sharded:
     # a v5e-8 host serves 8x the group at single-chip latency)
+    from matcha_tpu.inference import (
+        DEFAULT_MEL_FINE_BUCKETS,
+        DEFAULT_TEXT_BUCKETS,
+    )
+
     tb = os.environ.get("TEXT_BUCKETS")
     mb = os.environ.get("MEL_BUCKETS")
-    use_mesh = os.environ.get("SERVE_MESH", "0") == "1" and len(jax.devices()) > 1
-    if tb or mb or use_mesh:
-        from matcha_tpu.inference import (
-            DEFAULT_MEL_FINE_BUCKETS,
-            DEFAULT_TEXT_BUCKETS,
-            MatchaSynthesizer,
-        )
+    mesh = None
+    if os.environ.get("SERVE_MESH", "0") == "1" and len(jax.devices()) > 1:
+        from matcha_tpu.parallel.mesh import make_mesh
 
-        mesh = None
-        if use_mesh:
-            from matcha_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh(jax.devices())
-            print(f"mesh fan-out over {len(jax.devices())} devices")
-        synth = MatchaSynthesizer(
-            synth.cfg,
-            synth.params,
-            synth.vocos_params,
-            synth.vocos_cfg,
-            text_buckets=tuple(int(x) for x in tb.split(",")) if tb else DEFAULT_TEXT_BUCKETS,
-            mel_fine_buckets=tuple(int(x) for x in mb.split(",")) if mb else DEFAULT_MEL_FINE_BUCKETS,
-            mesh=mesh,
-        )
+        mesh = make_mesh(jax.devices())
+        print(f"mesh fan-out over {len(jax.devices())} devices")
+    synth = load_synthesizer(
+        ckpt,
+        os.environ.get("VOCODER_PATH"),
+        text_buckets=tuple(int(x) for x in tb.split(",")) if tb else DEFAULT_TEXT_BUCKETS,
+        mel_fine_buckets=tuple(int(x) for x in mb.split(",")) if mb else DEFAULT_MEL_FINE_BUCKETS,
+        mesh=mesh,
+    )
     service = TTSService(
         synth, use_batcher=os.environ.get("USE_BATCHER", "1") == "1"
     )

@@ -100,6 +100,15 @@ class Trainer:
         except Exception:
             pass
         self.mesh = make_mesh() if trainer_cfg.use_mesh else None
+        if self.mesh is not None and model_cfg.mas_backend == "auto":
+            # a pallas_call inside the GSPMD-sharded step has no batch
+            # partitioning rule; use the scan MAS on multi-chip meshes
+            # (see MatchaConfig.mas_backend)
+            import dataclasses as _dc
+
+            self.model_cfg = model_cfg = _dc.replace(
+                model_cfg, mas_backend="scan"
+            )
         # DP requires every batch divisible by the device count
         batch_multiple = len(self.mesh.devices.flatten()) if self.mesh else 1
 
@@ -257,23 +266,44 @@ class Trainer:
 
         q: _queue.Queue = _queue.Queue(maxsize=depth)
         done = object()
+        stop = _threading.Event()
+
+        def _put_or_stop(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in gen:
-                    q.put(self._put(b))
-                q.put(done)
+                    if not _put_or_stop(self._put(b)):
+                        return  # consumer abandoned the generator
+                _put_or_stop(done)
             except BaseException as exc:  # propagate into the train loop
-                q.put(exc)
+                _put_or_stop(exc)
 
         _threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is done:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer broke out early (max_steps, exception, GeneratorExit):
+            # release the producer and drop any staged device batches
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except _queue.Empty:
+                pass
 
     def fit(self, resume_from: str | None = None, max_steps: int | None = None):
         state = self.init_state(resume_from)
@@ -286,6 +316,7 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.seed)
         epoch = 0
         done = False
+        host_step = int(state.step)  # one sync at start, then host-tracked
         while not done and (self.cfg.max_epochs < 0 or epoch < self.cfg.max_epochs):
             t_epoch = time.time()
             losses = []
@@ -293,13 +324,14 @@ class Trainer:
                 epoch_batches(self.train_ds, self.sampler, epoch, self.text_bucket)
             ):
                 state, metrics = self.train_step(state, dev_batch, rng)
-                step = int(state.step)
-                # keep the loss as a device scalar: forcing a host float
-                # here would sync every step and serialize the pipeline
-                losses.append(metrics["loss"])
-                if step % self.cfg.log_every_n_steps == 0:
-                    self.logger.log(step, metrics)
-                if max_steps is not None and step >= max_steps:
+                # track the step host-side: int(state.step) would block on
+                # the just-dispatched step every iteration, serializing the
+                # pipeline exactly like the per-step loss pull did
+                host_step += 1
+                losses.append(metrics["loss"])  # device scalar, pulled later
+                if host_step % self.cfg.log_every_n_steps == 0:
+                    self.logger.log(host_step, metrics)
+                if max_steps is not None and host_step >= max_steps:
                     done = True
                     break
             self.logger.log(

@@ -192,3 +192,46 @@ class TestOptimizerFeatures:
         assert np.isfinite(
             np.asarray(jax.tree_util.tree_leaves(updates)[0])
         ).all()
+
+
+class TestMasBackendGating:
+    def test_mesh_trainer_forces_scan(self, tmp_path):
+        """A mesh trainer must not route MAS through the Pallas kernel: a
+        pallas_call inside the GSPMD-sharded step has no batch partitioning
+        rule (validated conservative choice; see MatchaConfig.mas_backend)."""
+        import numpy as np
+
+        from matcha_tpu.data.dataset import TextMelDataset
+        from matcha_tpu.models.config import tiny_config
+        from matcha_tpu.train.optim import OptimizerConfig
+        from matcha_tpu.train.trainer import Trainer, TrainerConfig
+
+        cfg = tiny_config()
+        mel_dir = tmp_path / "mels"
+        (mel_dir / "s").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(4):
+            rel = f"s/u{i}"
+            np.save(mel_dir / f"{rel}.npy",
+                    rng.standard_normal((cfg.n_feats, 16)).astype(np.float32))
+            np.save(mel_dir / f"{rel}.fine.npy",
+                    rng.standard_normal((cfg.n_feats, 32)).astype(np.float32))
+            ids = " ".join(str(v) for v in rng.integers(0, 600, 8))
+            rows.append(f"{rel}|{i % cfg.n_spks}|en-us|t{i}|{ids}")
+        (mel_dir / "metadata.json").write_text('{"n_mels": %d}' % cfg.n_feats)
+        fl = tmp_path / "t.csv"
+        fl.write_text("\n".join(rows))
+        ds = TextMelDataset(fl, mel_dir)
+
+        for use_mesh, expect in [(True, "scan"), (False, "auto")]:
+            tr = Trainer(
+                model_cfg=cfg,
+                opt_cfg=OptimizerConfig(),
+                trainer_cfg=TrainerConfig(
+                    output_dir=str(tmp_path / f"o{use_mesh}"), use_mesh=use_mesh
+                ),
+                train_dataset=ds,
+                max_frames_per_batch=256, len_bucket=16, text_bucket=16,
+            )
+            assert tr.model_cfg.mas_backend == expect
