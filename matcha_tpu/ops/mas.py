@@ -126,6 +126,19 @@ def durations_from_indices(idx: jax.Array, t_x: int) -> jax.Array:
     return jnp.sum(oh, axis=1)
 
 
+# mesh registry for the opt-in shard_map'ed Pallas path: set by the trainer
+# before tracing (static for the process), consulted at trace time
+_SHARD_MESH = None
+_SHARD_AXIS = "data"
+
+
+def set_mas_shard_mesh(mesh, axis: str = "data") -> None:
+    """Register the mesh for ``mas_backend="pallas_shard_map"`` dispatch."""
+    global _SHARD_MESH, _SHARD_AXIS
+    _SHARD_MESH = mesh
+    _SHARD_AXIS = axis
+
+
 def maximum_path_indices_auto(
     value: jax.Array,
     x_lengths: jax.Array,
@@ -141,6 +154,30 @@ def maximum_path_indices_auto(
     inside a jitted training step.  Multi-chip mesh steps must pass "scan"
     — see MatchaConfig.mas_backend.
     """
+    if backend == "pallas_shard_map":
+        if _SHARD_MESH is None:
+            raise ValueError(
+                "mas_backend='pallas_shard_map' needs set_mas_shard_mesh() "
+                "(the mesh Trainer registers it automatically)"
+            )
+        n_dev = _SHARD_MESH.devices.size
+        if value.shape[0] % n_dev != 0:
+            # init-time tracing uses tiny dummy batches; real mesh batches
+            # are always device-multiples (sampler guarantees it)
+            return maximum_path_indices(value, x_lengths, y_lengths)
+        from matcha_tpu.ops.mas_pallas import (
+            maximum_path_indices_pallas_sharded,
+        )
+
+        return maximum_path_indices_pallas_sharded(
+            value,
+            x_lengths,
+            y_lengths,
+            _SHARD_MESH,
+            _SHARD_AXIS,
+            # Mosaic on TPU shards, interpreter elsewhere (hermetic tests)
+            interpret=jax.default_backend() != "tpu",
+        )
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )

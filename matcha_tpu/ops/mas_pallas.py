@@ -190,3 +190,38 @@ def maximum_path_indices_pallas(
     )(xlen_b, ylen_b, dec)
 
     return jnp.transpose(idx[:t_y, :b, 0], (1, 0))
+
+
+def maximum_path_indices_pallas_sharded(
+    value: jax.Array,
+    x_lengths: jax.Array,
+    y_lengths: jax.Array,
+    mesh,
+    axis: str = "data",
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas MAS under a data-parallel mesh via shard_map.
+
+    MAS is independent per batch element, so each device runs the kernel
+    on its LOCAL batch shard — no collectives, no global (B, Tx, Ty)
+    materialization.  This is how the kernel composes with the
+    GSPMD-sharded train step: a bare pallas_call inside a sharded jit has
+    no partitioning rule, but inside shard_map it sees only local shapes.
+    (Mirrors how the reference's Triton kernel would be used under DDP —
+    per-rank local batches.)
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(axis)
+    return jax.shard_map(
+        lambda v, xl, yl: maximum_path_indices_pallas(
+            v, xl, yl, interpret=interpret
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        # pallas_call's out_shape carries no varying-mesh-axes annotation;
+        # per-shard independence makes the check unnecessary here
+        check_vma=False,
+    )(value, x_lengths, y_lengths)

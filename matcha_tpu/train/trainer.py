@@ -101,14 +101,19 @@ class Trainer:
             pass
         self.mesh = make_mesh() if trainer_cfg.use_mesh else None
         if self.mesh is not None and model_cfg.mas_backend == "auto":
-            # a pallas_call inside the GSPMD-sharded step has no batch
-            # partitioning rule; use the scan MAS on multi-chip meshes
-            # (see MatchaConfig.mas_backend)
+            # a bare pallas_call inside the GSPMD-sharded step has no batch
+            # partitioning rule; default to the scan MAS on meshes.  Opt in
+            # to the kernel with mas_backend="pallas_shard_map" (per-shard
+            # local batches; see ops/mas_pallas.py)
             import dataclasses as _dc
 
             self.model_cfg = model_cfg = _dc.replace(
                 model_cfg, mas_backend="scan"
             )
+        if self.mesh is not None and model_cfg.mas_backend == "pallas_shard_map":
+            from matcha_tpu.ops.mas import set_mas_shard_mesh
+
+            set_mas_shard_mesh(self.mesh)
         # DP requires every batch divisible by the device count
         batch_multiple = len(self.mesh.devices.flatten()) if self.mesh else 1
 

@@ -84,3 +84,55 @@ class TestDispatcher:
         ref = np.asarray(maximum_path_indices(v, xl, yl))
         got = np.asarray(maximum_path_indices_auto(v, xl, yl))
         np.testing.assert_array_equal(got, ref)
+
+
+class TestShardMapPallas:
+    def test_sharded_matches_scan_on_mesh(self):
+        """shard_map-wrapped Pallas MAS (interpret on CPU) over the 8-device
+        mesh == the unsharded scan on the global batch."""
+        from matcha_tpu.ops.mas_pallas import maximum_path_indices_pallas_sharded
+        from matcha_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh(jax.devices()[:8])
+        rng = np.random.default_rng(2)
+        b, t_x, t_y = 16, 10, 30  # 2 samples per device
+        v = rng.standard_normal((b, t_x, t_y)).astype(np.float32)
+        xl = rng.integers(2, t_x + 1, size=b).astype(np.int32)
+        yl = np.array([rng.integers(x, t_y + 1) for x in xl], np.int32)
+        ref = np.asarray(
+            maximum_path_indices(
+                jnp.asarray(v), jnp.asarray(xl), jnp.asarray(yl)
+            )
+        )
+        v_s, xl_s, yl_s = shard_batch(mesh, (v, xl, yl))
+        got = np.asarray(
+            maximum_path_indices_pallas_sharded(
+                v_s, xl_s, yl_s, mesh, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    @pytest.mark.skipif(
+        jax.default_backend() != "tpu" or jax.device_count() < 2,
+        reason="needs multi-chip TPU",
+    )
+    def test_sharded_compiled_on_tpu(self):
+        from matcha_tpu.ops.mas_pallas import maximum_path_indices_pallas_sharded
+        from matcha_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh(jax.devices())
+        n = jax.device_count()
+        rng = np.random.default_rng(3)
+        b, t_x, t_y = 2 * n, 12, 40
+        v = rng.standard_normal((b, t_x, t_y)).astype(np.float32)
+        xl = np.full((b,), t_x, np.int32)
+        yl = np.full((b,), t_y, np.int32)
+        ref = np.asarray(
+            maximum_path_indices(jnp.asarray(v), jnp.asarray(xl), jnp.asarray(yl))
+        )
+        got = np.asarray(
+            maximum_path_indices_pallas_sharded(
+                *shard_batch(mesh, (v, xl, yl)), mesh
+            )
+        )
+        np.testing.assert_array_equal(got, ref)

@@ -235,3 +235,42 @@ class TestMasBackendGating:
                 max_frames_per_batch=256, len_bucket=16, text_bucket=16,
             )
             assert tr.model_cfg.mas_backend == expect
+
+
+class TestShardMapMasTraining:
+    def test_mesh_step_with_pallas_shard_map_matches_scan(self):
+        """A full mesh train step with mas_backend='pallas_shard_map'
+        (interpret kernel per shard) produces the same loss/grads as the
+        scan backend — the opt-in path for Pallas MAS on real pods."""
+        import dataclasses
+
+        from matcha_tpu.models.config import tiny_config
+        from matcha_tpu.ops.mas import set_mas_shard_mesh
+        from matcha_tpu.parallel.mesh import make_mesh, shard_batch
+        from matcha_tpu.train.optim import OptimizerConfig, build_optimizer
+        from matcha_tpu.train.step import Batch, init_train_state, make_train_step
+
+        mesh = make_mesh(jax.devices()[:8])
+        set_mas_shard_mesh(mesh)
+        rng = np.random.default_rng(0)
+        b, tx, yf = 8, 12, 32
+        batch_np = Batch(
+            x=rng.integers(0, 600, (b, tx)).astype(np.int32),
+            x_lengths=np.full((b,), tx, np.int32),
+            y=rng.standard_normal((b, yf // 2, 8)).astype(np.float32),
+            y_lengths=np.full((b,), yf // 2, np.int32),
+            y_fine=rng.standard_normal((b, yf, 8)).astype(np.float32),
+            y_fine_lengths=np.full((b,), yf, np.int32),
+            spks=rng.integers(0, 4, (b,)).astype(np.int32),
+        )
+        key = jax.random.PRNGKey(1)
+        losses = {}
+        for backend in ("scan", "pallas_shard_map"):
+            cfg = dataclasses.replace(tiny_config(), mas_backend=backend)
+            tx_opt = build_optimizer(OptimizerConfig(), cfg)
+            state = init_train_state(cfg, tx_opt, jax.random.PRNGKey(0))
+            step, _ = make_train_step(cfg, tx_opt, mesh=mesh)
+            batch = Batch(*shard_batch(mesh, tuple(batch_np)))
+            _, m = step(state, batch, key)
+            losses[backend] = float(np.asarray(m["loss"]))
+        assert abs(losses["scan"] - losses["pallas_shard_map"]) < 1e-5, losses
