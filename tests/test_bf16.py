@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from matcha_tpu.models.config import tiny_config
 from matcha_tpu.models.matcha import MatchaTTS, init_params
@@ -13,6 +14,7 @@ CFG16 = dataclasses.replace(tiny_config(), compute_dtype="bfloat16")
 
 
 class TestBf16Model:
+    @pytest.mark.slow
     def test_params_stay_fp32(self):
         params = init_params(CFG16, jax.random.PRNGKey(0))
         dtypes = {

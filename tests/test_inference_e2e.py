@@ -131,6 +131,7 @@ class TestWarmupLadder:
         # text bucket 64 (prev 32): mel 64 unreachable? 64 > 32 → reachable
         assert (64, 64) in pairs
 
+    @pytest.mark.slow
     def test_full_warmup_means_no_new_compiles(self, synth):
         synth.warmup(n_timesteps=2, full=True)
         n_enc = synth._encode_jit._cache_size()

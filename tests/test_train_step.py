@@ -46,6 +46,7 @@ class TestDecayMask:
 
 
 class TestTrainStepSingleDevice:
+    @pytest.mark.slow
     def test_loss_decreases_params_change(self):
         tx = build_optimizer(OptimizerConfig(lr=1e-3))
         state = init_train_state(CFG, tx, jax.random.PRNGKey(0))
@@ -73,6 +74,7 @@ class TestTrainStepSingleDevice:
 
 
 class TestTrainStepMesh:
+    @pytest.mark.slow
     def test_eight_device_dp(self):
         assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
         mesh = make_mesh(jax.devices()[:8])
@@ -87,6 +89,7 @@ class TestTrainStepMesh:
         assert np.isfinite(np.asarray(metrics["loss"]))
         assert int(state2.step) == 1
 
+    @pytest.mark.slow
     def test_dp_matches_single_device(self):
         """Same batch, same seed → DP-8 loss == single-device loss."""
         mesh = make_mesh(jax.devices()[:8])
@@ -158,6 +161,7 @@ class TestCheckpointSurgery:
 
 
 class TestOptimizerFeatures:
+    @pytest.mark.slow
     def test_grad_accumulation(self):
         import optax
 

@@ -176,6 +176,7 @@ class TestPrefetch:
 
 
 class TestFinetuneSpeakerCli:
+    @pytest.mark.slow
     def test_cli_updates_only_target_speaker_rows(self, corpus):
         """python -m matcha_tpu.finetune_speaker end-to-end: only the target
         speaker's embedding rows move; every other parameter is untouched
