@@ -223,11 +223,16 @@ class MatchaSynthesizer:
         idx = jax.vmap(
             lambda c: jnp.searchsorted(c, frames, side="right")
         )(cum)
+        # frames at/after the total duration (possible when y_fine_lengths was
+        # lower-clamped above sum(durations)) must be zero, matching the dense
+        # generate_path matmul — NOT the last token's mu_x that the index clip
+        # below would otherwise pick up
+        in_range = (frames[None, :] < cum[:, -1:]).astype(jnp.float32)
         idx = jnp.clip(idx, 0, mu_x.shape[1] - 1)
         mu_y_fine = jnp.take_along_axis(
             mu_x.astype(jnp.float32), idx[..., None], axis=1
         )
-        mu_y_fine = mu_y_fine * y_fine_mask[..., None]
+        mu_y_fine = mu_y_fine * (y_fine_mask * in_range)[..., None]
         mu_y = downsample_time(mu_y_fine)
         y_lengths = (y_fine_lengths + 1) // 2
         y_mask = sequence_mask(y_lengths, mu_y.shape[1]).astype(jnp.float32)
@@ -610,12 +615,9 @@ def trim_trailing_silence(audio: np.ndarray, silence_threshold_db: float = -60.0
         )
     )
     silent = rms < thresh
-    trailing = 0
-    for i in range(n_win - 1, -1, -1):
-        if silent[i]:
-            trailing += 1
-        else:
-            break
+    # count of trailing silent windows = windows past the last loud one
+    loud = np.flatnonzero(~silent)
+    trailing = n_win if loud.size == 0 else n_win - 1 - int(loud[-1])
     if trailing == 0:
         return audio
     return audio[: -trailing * window]

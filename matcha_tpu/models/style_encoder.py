@@ -50,14 +50,16 @@ def style_encoder_loss(
     matcha_cfg: MatchaConfig,
     batch,  # Batch namedtuple (uses x, x_lengths, y_fine, y_fine_lengths, spks)
     *,
-    acoustic_delta: float = 1.0,
-    rhythm_delta: float = 1.0,
+    acoustic_beta: float = 0.002,
+    rhythm_beta: float = 0.004,
 ):
     """Smooth-L1 losses against the frozen MatchaTTS encoder.
 
     The frozen model's encoder runs twice — once with the true embedding
     table rows, once with StyleEncoder predictions — and the difference in
-    its outputs (mu_x, logw) is penalized (reference: style_encoder.py:119-170).
+    its outputs (mu_x, logw) is penalized (reference: style_encoder.py:119-170,
+    ``F.smooth_l1_loss(..., beta=0.002/0.004, reduction='sum') / x_mask.sum()``).
+    torch's smooth_l1(beta) equals huber(delta=beta)/beta elementwise.
     """
     model = MatchaTTS(matcha_cfg)
     style = StyleEncoder(spk_emb_dim=matcha_cfg.spk_emb_dim)
@@ -94,11 +96,11 @@ def style_encoder_loss(
 
     m3 = x_mask[..., None]
     acoustic = jnp.sum(
-        optax.losses.huber_loss(mu_pred * m3, mu_real * m3, delta=acoustic_delta)
-    ) / jnp.maximum(jnp.sum(m3), 1.0)
+        optax.losses.huber_loss(mu_pred * m3, mu_real * m3, delta=acoustic_beta)
+    ) / acoustic_beta / jnp.maximum(jnp.sum(x_mask), 1.0)
     rhythm = jnp.sum(
-        optax.losses.huber_loss(w_pred * x_mask, w_real * x_mask, delta=rhythm_delta)
-    ) / jnp.maximum(jnp.sum(x_mask), 1.0)
+        optax.losses.huber_loss(w_pred * x_mask, w_real * x_mask, delta=rhythm_beta)
+    ) / rhythm_beta / jnp.maximum(jnp.sum(x_mask), 1.0)
     return acoustic + rhythm, {"acoustic": acoustic, "rhythm": rhythm}
 
 

@@ -52,6 +52,13 @@ def _fwd_kernel(xlen_ref, ylen_ref, value_ref, dec_ref, f_ref):
     ylen = ylen_ref[:, 0:1]
     row_valid = lanes < xlen
 
+    @pl.when(t == 0)
+    def _():
+        # the j==0 select overwrites every element of the first DP row, so
+        # any init value is correct — but never CONSUME undefined VMEM
+        # (mirrors _bwd_kernel's cursor init)
+        f_ref[:] = jnp.full(f_ref.shape, NEG_INF, jnp.float32)
+
     def rows(u, _):
         f = f_ref[:]
         for s in range(_UNROLL):  # unrolled: amortizes scalar loop control

@@ -177,3 +177,74 @@ def multilingual_phonemizer(text: str, language: str) -> tuple[str, list[int]]:
     text = cleanup_text(text)
     phonemes = phonemize(text, language)
     return tokenize_phonemes(phonemes)
+
+
+# ---------------------------------------------------------------------------
+# Deployment selftest: python -m matcha_tpu.text.phonemizers --selftest
+# ---------------------------------------------------------------------------
+
+SELFTEST_SENTENCES = {
+    "en-us": "Dr. Smith paid $12.50 on March 3rd, 2021?",
+    "en-gb": "The colour of the 2nd lorry was grey.",
+    "ro": "Astăzi este o zi frumoasă de vară.",
+    "fr-fr": "Il fait très beau aujourd'hui, n'est-ce pas ?",
+    "de": "Heute ist der 3. Oktober und es regnet.",
+    "es": "¿Cuánto cuesta el billete de tren a Madrid?",
+    "pt": "O comboio chega às 15 horas e 30 minutos.",
+    "it": "Oggi è una bellissima giornata di primavera!",
+    "ja": "今日はいい天気ですね。",
+    "he": "היום יום יפה מאוד.",
+}
+
+
+def validate_triple_structure(ids: list[int]) -> None:
+    """Assert the (pre, P, post) voiced-expansion invariant over an ID list.
+
+    Every voiced base phoneme must sit between exactly PRE_ID+P and
+    POST_ID+P, and every PRE/POST token must flank its own base phoneme
+    (reference contract: matcha/text/phonemizers.py:140-152; exercised by
+    the reference's TestPhonemeIds, tests/test_phonemizers.py:290-327).
+    """
+    for i, pid in enumerate(ids):
+        if pid in voiced_phoneme_ids:
+            if i == 0 or ids[i - 1] != PRE_ID + pid:
+                raise AssertionError(f"voiced id {pid} at {i} lacks PRE token")
+            if i + 1 >= len(ids) or ids[i + 1] != POST_ID + pid:
+                raise AssertionError(f"voiced id {pid} at {i} lacks POST token")
+        elif PRE_ID <= pid < POST_ID:
+            if i + 1 >= len(ids) or ids[i + 1] != pid - PRE_ID:
+                raise AssertionError(f"dangling PRE token {pid} at {i}")
+        elif pid >= POST_ID:
+            if i == 0 or ids[i - 1] != pid - POST_ID:
+                raise AssertionError(f"dangling POST token {pid} at {i}")
+
+
+def selftest(languages=SUPPORTED_LANGUAGES) -> None:
+    """Phonemize one sentence per language through the LIVE eSpeak/NeMo path
+    and validate the output structure.  Raises on any failure — intended as
+    a Docker build-time gate so the only environment-dependent frontend path
+    gets exercised wherever the native libs exist."""
+    from matcha_tpu.text.symbols import SPACE_ID
+
+    for language in languages:
+        debug, ids = multilingual_phonemizer(SELFTEST_SENTENCES[language], language)
+        if len(ids) < 5:
+            raise AssertionError(f"{language}: suspiciously short output {ids}")
+        if ids[0] != SPACE_ID:
+            raise AssertionError(f"{language}: missing leading silence space")
+        validate_triple_structure(ids)
+        if not any(pid in voiced_phoneme_ids for pid in ids):
+            raise AssertionError(f"{language}: no voiced phonemes produced")
+        print(f"selftest {language}: ok ({len(ids)} ids) {debug[:60]!r}")
+    print(f"selftest: all {len(languages)} languages ok")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--selftest", action="store_true")
+    parser.add_argument("--lang", action="append", help="restrict languages")
+    args = parser.parse_args()
+    if args.selftest:
+        selftest(tuple(args.lang) if args.lang else SUPPORTED_LANGUAGES)

@@ -46,6 +46,12 @@ def build_model_config(cfg: dict) -> MatchaConfig:
             if unknown:
                 raise ValueError(f"unknown model.{k} config keys: {sorted(unknown)}")
             kw[k] = dataclasses.replace(cur, **v)
+        elif k == "data_statistics" and isinstance(v, dict):
+            # coerce like the nested sections: a raw dict would only fail at
+            # use time (stats.mel_mean attribute access)
+            kw[k] = DataStatistics(
+                mel_mean=float(v["mel_mean"]), mel_std=float(v["mel_std"])
+            )
         elif k in top_fields:
             kw[k] = v
         else:

@@ -342,8 +342,11 @@ class Trainer:
             self.logger.log(
                 int(state.step),
                 {
+                    # stack on device and pull ONCE: per-element np.asarray
+                    # would be one D2H tunnel round trip per training step
+                    # (dev-notes' Orbax pathology, at every epoch boundary)
                     "loss/train_epoch": float(
-                        np.mean([np.asarray(l) for l in losses])
+                        np.asarray(jnp.mean(jnp.stack(losses)))
                     )
                     if losses
                     else 0.0,

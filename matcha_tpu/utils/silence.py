@@ -36,20 +36,11 @@ def silence_bounds(
     rms = rms_windows(wav, sample_rate)
     thresh = 10.0 ** (threshold_db / 20.0)
     silent = rms < thresh
-    lead = 0
-    for s in silent:
-        if s:
-            lead += 1
-        else:
-            break
-    trail = 0
-    for s in silent[::-1]:
-        if s:
-            trail += 1
-        else:
-            break
-    if lead == len(silent):
-        trail = 0
+    loud = np.flatnonzero(~silent)
+    if loud.size == 0:
+        return len(silent), 0  # all-silent: count it all as leading
+    lead = int(loud[0])
+    trail = len(silent) - 1 - int(loud[-1])
     return lead, trail
 
 

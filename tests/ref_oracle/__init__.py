@@ -52,6 +52,7 @@ def load_reference():
     import matcha.models.components.decoder as ref_decoder
     import matcha.models.components.flow_matching as ref_flow_matching
     import matcha.models.components.text_encoder as ref_text_encoder
+    import matcha.models.style_encoder as ref_style_encoder
     import matcha.utils.model as ref_model_utils
 
     _loaded = {
@@ -59,6 +60,7 @@ def load_reference():
         "decoder": ref_decoder,
         "flow_matching": ref_flow_matching,
         "text_encoder": ref_text_encoder,
+        "style_encoder": ref_style_encoder,
         "model_utils": ref_model_utils,
     }
     return _loaded

@@ -156,6 +156,17 @@ class TestTrimTrailingSilence:
         speech = np.random.default_rng(0).uniform(-0.5, 0.5, 2400).astype(np.float32)
         np.testing.assert_array_equal(trim_trailing_silence(speech), speech)
 
+    def test_all_silent_trims_everything(self):
+        silence = np.zeros(24000, np.float32)
+        assert len(trim_trailing_silence(silence)) == 0
+
+    def test_interior_silence_kept(self):
+        sr = 24000
+        rng = np.random.default_rng(1)
+        loud = rng.uniform(-0.5, 0.5, sr // 4).astype(np.float32)
+        audio = np.concatenate([loud, np.zeros(sr // 4, np.float32), loud])
+        np.testing.assert_array_equal(trim_trailing_silence(audio), audio)
+
 
 class TestServingLayer:
     def test_parse_voice(self):
@@ -222,3 +233,44 @@ class TestGatherAlignmentEquivalence:
             * jnp.asarray(y_fine_mask)[..., None]
         )
         np.testing.assert_array_equal(gather, dense)
+
+    def test_frames_past_total_duration_are_zero(self):
+        """When y_fine_lengths is lower-clamped ABOVE sum(durations) (the
+        1-token/1-frame request), frames past the cumsum must be zero —
+        matching the dense path matmul — not the last token's mu_x that a
+        bare index clip would gather (advisor round-2 finding)."""
+        import jax
+        import jax.numpy as jnp
+
+        from matcha_tpu.utils.model_math import generate_path, sequence_mask
+
+        rng = np.random.default_rng(6)
+        b, tx, yf, c = 2, 4, 8, 3
+        mu_x = jnp.asarray(rng.standard_normal((b, tx, c)).astype(np.float32))
+        # sample 0: one 1-frame token; sample 1: normal
+        dur = np.array([[1, 0, 0, 0], [2, 1, 0, 0]], np.float32)
+        # y_fine_lengths clamped to 2 even though sample 0 has 1 total frame
+        y_fine_lengths = np.array([2, 3], np.int32)
+        y_fine_mask = np.asarray(
+            sequence_mask(jnp.asarray(y_fine_lengths), yf), np.float32
+        )
+        x_mask = np.ones((b, tx), np.float32)
+
+        attn_mask = x_mask[:, :, None] * y_fine_mask[:, None, :]
+        attn = generate_path(jnp.asarray(dur, jnp.int32), jnp.asarray(attn_mask))
+        dense = np.einsum(
+            "bij,bic->bjc", np.asarray(attn, np.float32), np.asarray(mu_x)
+        )
+
+        cum = jnp.cumsum(jnp.asarray(dur, jnp.int32), axis=1)
+        frames = jnp.arange(yf, dtype=jnp.int32)
+        idx = jax.vmap(lambda cc: jnp.searchsorted(cc, frames, side="right"))(cum)
+        in_range = (frames[None, :] < cum[:, -1:]).astype(jnp.float32)
+        idx = jnp.clip(idx, 0, tx - 1)
+        gather = np.asarray(
+            jnp.take_along_axis(mu_x, idx[..., None], axis=1)
+            * (jnp.asarray(y_fine_mask) * in_range)[..., None]
+        )
+        np.testing.assert_array_equal(gather, dense)
+        # and the dense path really does zero the clamped frame
+        assert np.all(dense[0, 1] == 0.0)

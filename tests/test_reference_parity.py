@@ -56,7 +56,10 @@ from matcha_tpu.utils.model_math import (  # noqa: E402
     generate_path,
     sequence_mask,
 )
-from tools.convert_matcha_ckpt import convert_state_dict  # noqa: E402
+from tools.convert_matcha_ckpt import (  # noqa: E402
+    convert_state_dict,
+    convert_style_encoder_state_dict,
+)
 
 # ---------------------------------------------------------------------------
 # model pair construction
@@ -431,6 +434,122 @@ def test_synthesise_parity(pair):
     np.testing.assert_array_equal(dur_j.astype(np.int64), dur_t.astype(np.int64))
     np.testing.assert_allclose(mel_j, mel_t, atol=2e-4, rtol=1e-3)
     assert mcd_db(mel_j, mel_t) < 0.1  # the BASELINE.json north star
+
+
+# ---------------------------------------------------------------------------
+# StyleEncoder parity (reference style_encoder.py:42-72 forward, :119-170 losses)
+# ---------------------------------------------------------------------------
+
+
+class TestStyleEncoderParity:
+    def test_forward_parity_padded(self):
+        """Converted reference StyleEncoder weights produce identical (enc,
+        dur) embedding predictions, including under padding, at non-default
+        widths (hidden 24, 3 layers)."""
+        from matcha_tpu.models.style_encoder import StyleEncoder as JaxStyle
+
+        ref = load_reference()
+        torch.manual_seed(9)
+        tse = ref["style_encoder"].StyleEncoder(
+            n_feats=16, hidden_channels=24, n_layers=3, spk_emb_dim=16
+        ).eval()
+        params = jax.tree.map(
+            jnp.asarray,
+            convert_style_encoder_state_dict(
+                {k: v.numpy() for k, v in tse.state_dict().items()}, n_layers=3
+            ),
+        )
+
+        rng = np.random.default_rng(10)
+        b, c, t = 2, 16, 20
+        mel = rng.standard_normal((b, c, t)).astype(np.float32)
+        lengths = np.array([t, 13])
+        mask = np.asarray(
+            sequence_mask(jnp.asarray(lengths), t), np.float32
+        )
+
+        with torch.no_grad():
+            enc_t, dur_t = tse(
+                torch.from_numpy(mel), torch.from_numpy(mask[:, None, :])
+            )
+        enc_j, dur_j = JaxStyle(spk_emb_dim=16, hidden=24, n_layers=3).apply(
+            {"params": params},
+            jnp.asarray(mel.transpose(0, 2, 1)),
+            jnp.asarray(mask),
+        )
+        np.testing.assert_allclose(np.asarray(enc_j), t2n(enc_t), atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dur_j), t2n(dur_t), atol=2e-5, rtol=1e-4)
+
+    def test_training_losses_parity(self, pair):
+        """acoustic/rhythm smooth-L1 losses equal the reference's
+        ``StyleEncoderLightningModule._compute_losses`` run on the SAME
+        frozen MatchaTTS — anchoring add_speaker's embedding predictions."""
+        from matcha_tpu.models.style_encoder import style_encoder_loss
+        from matcha_tpu.train.step import Batch
+
+        ref = load_reference()
+        # feed the oracle Lightning module our frozen SMALL torch model
+        ref["style_encoder"].MatchaTTS.load_from_checkpoint = classmethod(
+            lambda cls, *a, **k: pair.torch_model
+        )
+        torch.manual_seed(13)
+        selm = ref["style_encoder"].StyleEncoderLightningModule(
+            matcha_checkpoint_path="<patched>",
+            n_feats=SMALL["n_feats"],
+            ase_hidden_channels=256,  # production widths (configs/model/
+            ase_n_layers=4,           # style_encoder/default.yaml:15-16)
+            spk_emb_dim=SMALL["spk_emb_dim"],
+        ).eval()
+
+        style_params = jax.tree.map(
+            jnp.asarray,
+            convert_style_encoder_state_dict(
+                {k: v.numpy() for k, v in selm.style_encoder.state_dict().items()}
+            ),
+        )
+
+        rng = np.random.default_rng(11)
+        b, tx, tf = 2, 10, 24
+        c = SMALL["n_feats"]
+        x = rng.integers(1, 500, (b, tx)).astype(np.int64)
+        xl = np.full((b,), tx)
+        y_fine = rng.standard_normal((b, c, tf)).astype(np.float32)
+        yfl = np.array([tf, 17])
+        spks = np.array([0, 3])
+
+        with torch.no_grad():
+            total_t, acoustic_t, rhythm_t, _, _ = selm._compute_losses(
+                {
+                    "x": torch.as_tensor(x),
+                    "x_lengths": torch.as_tensor(xl),
+                    "y_fine": torch.from_numpy(y_fine),
+                    "y_fine_lengths": torch.as_tensor(yfl),
+                    "spks": torch.as_tensor(spks),
+                },
+                batch_idx=1,  # skip the batch-0 quantile diagnostics
+            )
+
+        ty = tf // 2
+        batch = Batch(
+            x=jnp.asarray(x), x_lengths=jnp.asarray(xl),
+            y=jnp.zeros((b, ty, c), jnp.float32),
+            y_lengths=jnp.full((b,), ty, jnp.int32),
+            y_fine=jnp.asarray(y_fine.transpose(0, 2, 1)),
+            y_fine_lengths=jnp.asarray(yfl),
+            spks=jnp.asarray(spks),
+        )
+        total_j, parts = style_encoder_loss(
+            style_params, pair.params, pair.cfg, batch
+        )
+        np.testing.assert_allclose(
+            float(parts["acoustic"]), float(acoustic_t), atol=1e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(parts["rhythm"]), float(rhythm_t), atol=1e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(total_j), float(total_t), atol=2e-5, rtol=1e-4
+        )
 
 
 @pytest.mark.slow

@@ -140,3 +140,34 @@ class TestEspeakIntegration:
         assert len(ids) > 5
         assert ids[0] == SPACE_ID  # leading silence anchor
         assert all(0 <= i < N_VOCAB for i in ids)
+
+    def test_selftest_if_available(self):
+        pytest.importorskip("phonemizer")
+        from matcha_tpu.text.phonemizers import selftest
+
+        selftest()  # the docker build-time gate; raises on any failure
+
+
+class TestValidateTripleStructure:
+    """Pure structural validator behind the --selftest gate."""
+
+    def test_accepts_tokenizer_output(self):
+        from matcha_tpu.text.phonemizers import validate_triple_structure
+
+        _, ids = tokenize_phonemes(" ˈhɛloʊ wˈɜːld.")
+        validate_triple_structure(ids)
+
+    def test_rejects_missing_pre(self):
+        from matcha_tpu.text.phonemizers import validate_triple_structure
+
+        a = symbol_to_id["a"]
+        with pytest.raises(AssertionError, match="lacks PRE"):
+            validate_triple_structure([a, POST_ID + a])
+
+    def test_rejects_dangling_post(self):
+        from matcha_tpu.text.phonemizers import validate_triple_structure
+
+        a = symbol_to_id["a"]
+        b = symbol_to_id["b"]
+        with pytest.raises(AssertionError, match="POST"):
+            validate_triple_structure([PRE_ID + a, a, POST_ID + b])

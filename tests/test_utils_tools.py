@@ -56,6 +56,60 @@ class TestSilence:
     def test_rms_windows_shape(self):
         assert rms_windows(np.zeros(2400, np.float32), SR).shape == (10,)
 
+    def test_all_silent_counts_as_leading(self):
+        lead, trail = silence_bounds(np.zeros(int(0.1 * SR), np.float32), SR)
+        assert (lead, trail) == (10, 0)
+
+    def test_dual_threshold_measurement(self):
+        """-90 dB counts only near-digital-zero windows; -60 dB also counts
+        the faint-hiss region between them (reference: measure_silence.py
+        measures both from one RMS grid)."""
+        from matcha_tpu.utils.measure_silence import measure_silence_ms
+
+        hiss = (1e-4 * np.ones(int(0.1 * SR))).astype(np.float32)  # ~-80 dB
+        wav = np.concatenate(
+            [np.zeros(int(0.1 * SR), np.float32), hiss, speechlike()]
+        )
+        le, la, te, ta = measure_silence_ms(wav, SR)
+        assert abs(le - 200.0) <= 10.0  # zeros + hiss are both < -60 dB
+        assert abs(la - 100.0) <= 10.0  # only the zeros are < -90 dB
+        assert te <= 10.0 and ta <= 10.0
+
+    def test_measure_silence_cli_single_file(self, tmp_path, capsys):
+        from matcha_tpu.utils.measure_silence import main
+
+        wav = np.concatenate(
+            [np.zeros(int(0.1 * SR), np.float32), speechlike()]
+        )
+        write_wav(tmp_path / "x.wav", wav, SR)
+        main(["--file", str(tmp_path / "x.wav")])
+        out = capsys.readouterr().out
+        assert "Leading  effective (-60.0 dB): 100.0 ms" in out
+        assert "Leading  absolute  (-90.0 dB): 100.0 ms" in out
+
+    def test_measure_silence_cli_corpus(self, tmp_path, capsys):
+        from matcha_tpu.utils.measure_silence import main
+
+        wavs = tmp_path / "wavs"
+        wavs.mkdir()
+        rows = []
+        for i, lead_s in enumerate((0.1, 0.2)):
+            wav = np.concatenate(
+                [np.zeros(int(lead_s * SR), np.float32), speechlike(seed=i)]
+            )
+            write_wav(wavs / f"u{i}.wav", wav, SR)
+            rows.append(f"u{i}|{i % 2}|en|hello|")
+        (tmp_path / "list.csv").write_text("\n".join(rows) + "\n")
+        main([
+            "--filelist", str(tmp_path / "list.csv"), "--wav_dir", str(wavs)
+        ])
+        out = capsys.readouterr().out
+        assert "Total files processed: 2" in out
+        assert "Leading Silence Statistics" in out
+        assert "Trailing Silence Statistics" in out
+        assert "longest leading effective silence" in out
+        assert "u1.wav" in out
+
 
 class TestMcd:
     def test_identical_is_near_zero(self):

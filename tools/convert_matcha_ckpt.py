@@ -212,34 +212,178 @@ def convert_state_dict(sd: dict, n_layers_enc: int = 4, prenet_layers: int = 6,
     return params
 
 
+def convert_style_encoder_state_dict(sd: dict, n_layers: int = 4) -> dict:
+    """Reference StyleEncoder state_dict → flax param tree.
+
+    Layout (reference: matcha/models/style_encoder.py:49-57): ``convs.{i}``
+    Conv1d(k=5) stack + ``proj_enc``/``proj_dur`` linear heads, mapping onto
+    matcha_tpu.models.style_encoder.StyleEncoder's ``conv{i}`` /
+    ``head_enc`` / ``head_dur``.  ``style_encoder.`` /  ``_orig_mod.``
+    prefixes (LightningModule nesting, torch.compile) are stripped.
+    """
+    sd = {
+        k.replace("._orig_mod", "").removeprefix("style_encoder."): np.asarray(v)
+        for k, v in sd.items()
+        if not k.startswith("matcha.")  # frozen MatchaTTS lives alongside
+    }
+    params: dict = {}
+    for i in range(n_layers):
+        set_path(params, f"conv{i}/kernel", conv_k(sd[f"convs.{i}.weight"]))
+        set_path(params, f"conv{i}/bias", sd[f"convs.{i}.bias"])
+    set_path(params, "head_enc/kernel", dense_k(sd["proj_enc.weight"]))
+    set_path(params, "head_enc/bias", sd["proj_enc.bias"])
+    set_path(params, "head_dur/kernel", dense_k(sd["proj_dur.weight"]))
+    set_path(params, "head_dur/bias", sd["proj_dur.bias"])
+    return params
+
+
+def _get(obj, key, default=None):
+    """Field access across the hyper_parameters representations Lightning
+    checkpoints carry in the wild: plain dicts, argparse.Namespace-likes,
+    and omegaconf DictConfigs (all attribute- or item-accessible)."""
+    if obj is None:
+        return default
+    if isinstance(obj, dict):
+        return obj.get(key, default)
+    try:
+        return getattr(obj, key)
+    except AttributeError:
+        try:
+            return obj[key]
+        except Exception:
+            return default
+
+
+def config_from_hparams(hp) -> "MatchaConfig":
+    """Rebuild the FULL MatchaConfig from a checkpoint's ``hyper_parameters``.
+
+    The reference rebuilds its model from these exact fields
+    (matcha/inference.py:186-197 passes hparams straight into
+    ``MatchaTTSInfer(**hparams)``; field names per matcha_tts.py:17-31 and
+    configs/model/*), so a checkpoint trained at non-default widths must
+    round-trip through here — NOT through hardcoded production defaults.
+    """
+    from matcha_tpu.models.config import (
+        CFMConfig,
+        DataStatistics,
+        DecoderConfig,
+        DurationPredictorConfig,
+        EncoderConfig,
+        MatchaConfig,
+    )
+
+    base = MatchaConfig()
+    enc_wrap = _get(hp, "encoder")
+    ep = _get(enc_wrap, "encoder_params")
+    dpp = _get(enc_wrap, "duration_predictor_params")
+    dec = _get(hp, "decoder")
+    cfm = _get(hp, "cfm")
+    stats = _get(hp, "data_statistics") or {}
+
+    n_feats = int(_get(hp, "n_feats", base.n_feats))
+    encoder = EncoderConfig(
+        n_feats=int(_get(ep, "n_feats", n_feats)),
+        n_channels=int(_get(ep, "n_channels", base.encoder.n_channels)),
+        filter_channels=int(
+            _get(ep, "filter_channels", base.encoder.filter_channels)
+        ),
+        n_heads=int(_get(ep, "n_heads", base.encoder.n_heads)),
+        n_layers=int(_get(ep, "n_layers", base.encoder.n_layers)),
+        kernel_size=int(_get(ep, "kernel_size", base.encoder.kernel_size)),
+        p_dropout=float(_get(ep, "p_dropout", base.encoder.p_dropout)),
+        prenet=bool(_get(ep, "prenet", True)),
+        prenet_kernel_size=int(
+            _get(ep, "prenet_kernel_size", base.encoder.prenet_kernel_size)
+        ),
+        # fixed at 6 in the reference (text_encoder.py:343)
+        prenet_layers=base.encoder.prenet_layers,
+    )
+    duration_predictor = DurationPredictorConfig(
+        filter_channels=int(
+            _get(dpp, "filter_channels_dp", base.duration_predictor.filter_channels)
+        ),
+        kernel_size=int(
+            _get(dpp, "kernel_size", base.duration_predictor.kernel_size)
+        ),
+        p_dropout=float(
+            _get(dpp, "p_dropout", base.duration_predictor.p_dropout)
+        ),
+        n_layers=int(_get(dpp, "n_layers", base.duration_predictor.n_layers)),
+    )
+    decoder = DecoderConfig(
+        channels=tuple(
+            int(c) for c in (_get(dec, "channels") or base.decoder.channels)
+        ),
+        dropout=float(_get(dec, "dropout", base.decoder.dropout)),
+        attention_head_dim=int(
+            _get(dec, "attention_head_dim", base.decoder.attention_head_dim)
+        ),
+        n_blocks=int(_get(dec, "n_blocks", base.decoder.n_blocks)),
+        num_mid_blocks=int(
+            _get(dec, "num_mid_blocks", base.decoder.num_mid_blocks)
+        ),
+        num_heads=int(_get(dec, "num_heads", base.decoder.num_heads)),
+    )
+    cfm_cfg = CFMConfig(
+        solver=str(_get(cfm, "solver", base.cfm.solver)),
+        sigma_min=float(_get(cfm, "sigma_min", base.cfm.sigma_min)),
+        use_mu_prior=bool(_get(cfm, "use_mu_prior", base.cfm.use_mu_prior)),
+    )
+    return MatchaConfig(
+        n_spks=int(_get(hp, "n_spks", base.n_spks)),
+        n_feats=n_feats,
+        spk_emb_dim=int(_get(hp, "spk_emb_dim", base.spk_emb_dim)),
+        encoder=encoder,
+        duration_predictor=duration_predictor,
+        decoder=decoder,
+        cfm=cfm_cfg,
+        data_statistics=DataStatistics(
+            mel_mean=float(_get(stats, "mel_mean", -4.684777)),
+            mel_std=float(_get(stats, "mel_std", 6.512275)),
+        ),
+        prior_loss=bool(_get(hp, "prior_loss", True)),
+        prior_loss_threshold=float(
+            _get(hp, "prior_loss_threshold", base.prior_loss_threshold)
+        ),
+        duration_loss_threshold=float(
+            _get(hp, "duration_loss_threshold", base.duration_loss_threshold)
+        ),
+    )
+
+
 def main(argv=None):
     import torch
 
-    from matcha_tpu.models.config import DataStatistics, MatchaConfig
     from matcha_tpu.train.checkpoint import save_checkpoint
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input", required=True)
     parser.add_argument("--output", required=True)
+    parser.add_argument(
+        "--strict", action="store_true",
+        help="fail on unconverted tensors instead of warning",
+    )
     args = parser.parse_args(argv)
 
     ckpt = torch.load(args.input, map_location="cpu", weights_only=False)
     sd = {k: v.float().numpy() for k, v in ckpt["state_dict"].items()}
-    hp = ckpt.get("hyper_parameters", {})
-
-    stats = hp.get("data_statistics") or {}
-    cfg = MatchaConfig(
-        n_spks=int(hp.get("n_spks", 16)),
-        n_feats=int(hp.get("n_feats", 100)),
-        spk_emb_dim=int(hp.get("spk_emb_dim", 96)),
-        data_statistics=DataStatistics(
-            mel_mean=float(stats.get("mel_mean", -4.684777)),
-            mel_std=float(stats.get("mel_std", 6.512275)),
-        ),
+    cfg = config_from_hparams(ckpt.get("hyper_parameters", {}))
+    params = convert_state_dict(
+        sd,
+        n_layers_enc=cfg.encoder.n_layers,
+        prenet_layers=cfg.encoder.prenet_layers,
+        dp_layers=cfg.duration_predictor.n_layers,
+        channels=cfg.decoder.channels,
+        n_blocks=cfg.decoder.n_blocks,
+        num_mid_blocks=cfg.decoder.num_mid_blocks,
+        strict=args.strict,
     )
-    params = convert_state_dict(sd)
     save_checkpoint(args.output, {"params": params, "step": 0}, cfg)
-    print(f"converted → {args.output}")
+    print(
+        f"converted → {args.output} "
+        f"(enc {cfg.encoder.n_channels}ch×{cfg.encoder.n_layers}L, "
+        f"dec {cfg.decoder.channels}, n_spks={cfg.n_spks})"
+    )
 
 
 if __name__ == "__main__":

@@ -62,15 +62,73 @@ def convert_vocos_state_dict(sd: dict, num_layers: int = 8) -> dict:
     return params
 
 
+def verify(pkl_path: str, atol: float = 1e-3) -> float:
+    """Numerical release gate: JAX Vocos vs the REAL torch ``vocos`` package.
+
+    Runs both on 4 random mels and returns max|Δ| over the waveforms.
+    Requires the ``vocos`` pip package (network host only) — this is the one
+    check the offline parity suite cannot perform (its torch oracle is
+    hand-written; see RELEASE.md step 1).
+    """
+    import jax.numpy as jnp
+    import torch
+    from vocos import Vocos as TorchVocos
+
+    from matcha_tpu.vocoder.vocos import Vocos, VocosConfig
+
+    tv = TorchVocos.from_pretrained("charactr/vocos-mel-24khz").eval()
+    with open(pkl_path, "rb") as f:
+        params = pickle.load(f)
+
+    rng = np.random.default_rng(0)
+    worst = 0.0
+    for _ in range(4):
+        mel = rng.standard_normal((1, 100, 120)).astype(np.float32) * 2.0 - 4.0
+        with torch.no_grad():
+            ref = tv.decode(torch.from_numpy(mel)).numpy()
+        out = np.asarray(
+            Vocos(VocosConfig()).apply(
+                {"params": params}, jnp.asarray(np.transpose(mel, (0, 2, 1)))
+            )
+        )
+        worst = max(worst, float(np.abs(out[:, : ref.shape[-1]] - ref).max()))
+    status = "OK" if worst < atol else "FAIL"
+    print(f"verify vs torch vocos: max|Δ| = {worst:.2e} [{status}]")
+    if worst >= atol:
+        raise SystemExit(1)
+    return worst
+
+
 def main(argv=None):
     import torch
 
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--input", required=True)
-    parser.add_argument("--output", required=True)
+    parser.add_argument("--input", help="local HF torch state-dict file")
+    parser.add_argument(
+        "--pretrained",
+        help="HF repo id to download instead of --input, "
+        "e.g. charactr/vocos-mel-24khz (network host only)",
+    )
+    parser.add_argument("--output")
+    parser.add_argument(
+        "--verify",
+        metavar="VOCOS_PKL",
+        help="compare a converted pkl against the torch vocos package and exit",
+    )
     args = parser.parse_args(argv)
 
-    sd = torch.load(args.input, map_location="cpu", weights_only=True)
+    if args.verify:
+        verify(args.verify)
+        return
+    if not args.output or not (args.input or args.pretrained):
+        parser.error("--output plus one of --input/--pretrained is required")
+
+    src = args.input
+    if args.pretrained:
+        from huggingface_hub import hf_hub_download
+
+        src = hf_hub_download(repo_id=args.pretrained, filename="pytorch_model.bin")
+    sd = torch.load(src, map_location="cpu", weights_only=True)
     params = convert_vocos_state_dict({k: v.float().numpy() for k, v in sd.items()})
     with open(args.output, "wb") as f:
         pickle.dump(params, f)
