@@ -84,12 +84,11 @@ class MatchaConfig:
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     cfm: CFMConfig = field(default_factory=CFMConfig)
     data_statistics: DataStatistics = field(default_factory=DataStatistics)
-    # MAS implementation: "auto" (Pallas on single-chip TPU, scan
-    # elsewhere), "scan", or "pallas".  The trainer forces "scan" under a
-    # multi-chip mesh: a pallas_call inside a GSPMD-sharded jit has no
-    # partitioning rule for the batch-sharded log-prior, and that
-    # combination cannot be validated without real multi-chip TPU hardware
-    # (a shard_map wrapping is the future path).
+    # MAS implementation: "auto" resolves to the Pallas kernel on TPU
+    # (plain pallas_call single-device; shard_map-wrapped per-shard kernels
+    # under a mesh, since a bare pallas_call inside a GSPMD-sharded jit has
+    # no partitioning rule) and to the portable lax.scan elsewhere.
+    # Explicit: "scan" | "pallas" | "pallas_shard_map".
     mas_backend: str = "auto"
     prior_loss: bool = True
     prior_loss_threshold: float = 0.03   # Huber delta for the prior loss

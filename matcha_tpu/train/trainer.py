@@ -102,13 +102,21 @@ class Trainer:
         self.mesh = make_mesh() if trainer_cfg.use_mesh else None
         if self.mesh is not None and model_cfg.mas_backend == "auto":
             # a bare pallas_call inside the GSPMD-sharded step has no batch
-            # partitioning rule; default to the scan MAS on meshes.  Opt in
-            # to the kernel with mas_backend="pallas_shard_map" (per-shard
-            # local batches; see ops/mas_pallas.py)
+            # partitioning rule, so meshes route MAS through shard_map: the
+            # kernel sees per-device local batches (ops/mas_pallas.py).  On
+            # TPU that is the compiled Mosaic kernel — the same default the
+            # reference effectively has (its Triton kernel runs in EVERY
+            # training step, matcha_tts.py:199).  Non-TPU meshes (hermetic
+            # CPU tests) keep the portable scan.
             import dataclasses as _dc
 
+            backend = (
+                "pallas_shard_map"
+                if jax.default_backend() == "tpu"
+                else "scan"
+            )
             self.model_cfg = model_cfg = _dc.replace(
-                model_cfg, mas_backend="scan"
+                model_cfg, mas_backend=backend
             )
         if self.mesh is not None and model_cfg.mas_backend == "pallas_shard_map":
             from matcha_tpu.ops.mas import set_mas_shard_mesh

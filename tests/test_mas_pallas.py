@@ -113,6 +113,32 @@ class TestShardMapPallas:
         np.testing.assert_array_equal(got, ref)
 
     @pytest.mark.skipif(
+        jax.default_backend() != "tpu", reason="needs real TPU (Mosaic)"
+    )
+    def test_sharded_compiled_single_chip_mesh(self):
+        """Compiled (non-interpret) Mosaic kernel under shard_map on a
+        1-device mesh — the combination the trainer now defaults to on TPU
+        meshes (mas_backend='auto' → 'pallas_shard_map')."""
+        from matcha_tpu.ops.mas_pallas import maximum_path_indices_pallas_sharded
+        from matcha_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh(jax.devices()[:1])
+        rng = np.random.default_rng(5)
+        b, t_x, t_y = 4, 24, 80
+        v = rng.standard_normal((b, t_x, t_y)).astype(np.float32)
+        xl = rng.integers(2, t_x + 1, size=b).astype(np.int32)
+        yl = np.array([rng.integers(x, t_y + 1) for x in xl], np.int32)
+        ref = np.asarray(
+            maximum_path_indices(jnp.asarray(v), jnp.asarray(xl), jnp.asarray(yl))
+        )
+        got = np.asarray(
+            maximum_path_indices_pallas_sharded(
+                *shard_batch(mesh, (v, xl, yl)), mesh
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    @pytest.mark.skipif(
         jax.default_backend() != "tpu" or jax.device_count() < 2,
         reason="needs multi-chip TPU",
     )

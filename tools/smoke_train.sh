@@ -51,4 +51,23 @@ python -m matcha_tpu.train \
     paths.output_dir="$WORK/run"
 
 ls "$WORK/run/checkpoints/"
-echo "smoke train OK"
+
+# learning gate: the per-epoch training loss must DESCEND on hardware
+# (catches gradient sign/scale errors that forward-parity tests cannot see)
+python - "$WORK" <<'EOF'
+import json, sys
+from pathlib import Path
+
+lines = [
+    json.loads(l)
+    for l in (Path(sys.argv[1]) / "run" / "metrics.jsonl").read_text().splitlines()
+]
+epochs = [m["loss/train_epoch"] for m in lines if "loss/train_epoch" in m]
+print("epoch losses:", " ".join(f"{v:.4f}" for v in epochs))
+assert len(epochs) >= 2, "need at least 2 epochs to compare"
+assert epochs[-1] < epochs[0], (
+    f"training loss did not decrease: {epochs[0]:.4f} -> {epochs[-1]:.4f}"
+)
+EOF
+
+echo "smoke train OK (loss descended)"
