@@ -11,12 +11,21 @@ and reports real-time factor per chip:
 
     RTF = (t_A + t_B) / total_audio_seconds        (lower is better)
 
-plus an MFU estimate (XLA cost-analysis FLOPs / elapsed / v5e bf16 peak)
-and the per-stage wall-time breakdown.
+plus:
+  * p50 single-utterance latency (B=1 through both stages — the number a
+    lone server request sees; named in BASELINE.json's metric field)
+  * an MFU estimate (XLA cost-analysis FLOPs / elapsed / v5e bf16 peak)
+  * a DEVICE-time estimate per stage via the inner-repeat method: jit a
+    variant whose body runs the stage K times back-to-back (sequential
+    data dependency), then device_ms ~= (wall_K - wall_1) / (K - 1) —
+    the fixed dispatch/transport cost cancels.  Chosen because
+    jax.profiler's trace RPC HANGS through the axon remote transport
+    (measured; set BENCH_TRACE=1 on a real TPU host for XPlane traces
+    instead).  Set BENCH_DEVICE=0 to skip the extra compiles.
+  * optional batch-scaling probe (BENCH_SCALING=1: B=1/8/16/32 RTF)
 
 Prints ONE JSON line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
-     "mfu": ..., "stage_breakdown": {...}}
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., ...}
 
 `vs_baseline` compares against the BASELINE.json north-star target of
 RTF < 0.01 per chip (values < 1.0 beat the target).  Weights are random —
@@ -24,6 +33,7 @@ RTF is architecture/compiler work, independent of weight values.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -43,6 +53,8 @@ except Exception:
     pass
 
 V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
+TX, Y_FINE_LEN = 256, 1024  # production bucket: ~5.4 s of audio/utterance
+ITERS = 10
 
 
 def _cost_flops(jitted, *args, **kwargs) -> float:
@@ -56,30 +68,16 @@ def _cost_flops(jitted, *args, **kwargs) -> float:
         return 0.0
 
 
-def main():
-    import dataclasses
+def measure(
+    synth, cfg, batch, iters=ITERS, seed=0, with_flops=False,
+    tx=TX, y_fine_len=Y_FINE_LEN,
+):
+    """Median per-stage wall time for one (batch, tx, y_fine_len) point.
 
-    from matcha_tpu.inference import MatchaSynthesizer
-    from matcha_tpu.models.config import MatchaConfig
-    from matcha_tpu.models.matcha import init_params
-    from matcha_tpu.vocoder.vocos import VocosConfig, init_vocos_params
-
-    # production serving operating point: bf16 activations (the reference
-    # serves under torch.autocast bf16 too) with fp32 quality islands
-    cfg = dataclasses.replace(MatchaConfig(), compute_dtype="bfloat16")
-    vocos_cfg = VocosConfig(compute_dtype="bfloat16")
-    params = init_params(cfg, jax.random.PRNGKey(0))
-    vocos_params = init_vocos_params(jax.random.PRNGKey(1), vocos_cfg)
-    synth = MatchaSynthesizer(cfg, params, vocos_params, vocos_cfg)
-
-    # serving-realistic batch: B utterances x ~5.4 s each (scaling probe on
-    # v5e: B=8 -> RTF 0.0013, B=16 -> 0.00086, B=32 -> 0.0008; B=16 is the
-    # knee and matches plausible concurrent-request load)
-    batch, tx, y_fine_len = 16, 256, 1024
-    rng = np.random.default_rng(0)
-    iters = 10
-
-    # ---- stage A: real phoneme ids through encoder + duration predictor ----
+    Returns a dict with encoder/decode ms, rtf, audio seconds, and the
+    warm inputs so a caller can re-run the exact loops under a profiler.
+    """
+    rng = np.random.default_rng(seed)
     x_all = [
         jnp.asarray(rng.integers(0, 600, (batch, tx)), jnp.int32)
         for _ in range(iters + 1)
@@ -90,7 +88,9 @@ def main():
     scale = jnp.ones((batch, 1), jnp.float32)  # production (B,1) signature
 
     def run_a(x):
-        return synth._encode_jit(synth.params, x, x_lengths, spk_enc, spk_dur, scale)
+        return synth._encode_jit(
+            synth.params, x, x_lengths, spk_enc, spk_dur, scale
+        )
 
     mu_x, durations, x_mask = run_a(x_all[-1])  # warmup/compile
     # warm the checksum program too (slice+sum is its own tiny XLA program;
@@ -101,22 +101,19 @@ def main():
     times_a = []
     for i in range(iters):
         t0 = time.perf_counter()
-        mu_x_i, dur_i, _ = run_a(x_all[i])
+        _, dur_i, _ = run_a(x_all[i])
         checksum += float(jnp.sum(dur_i[:, :8]))  # force exec + D2H per iter
         times_a.append(time.perf_counter() - t0)
-    # median: robust to transport stragglers (tunnel round-trips vary 2x)
-    elapsed_a = float(np.median(times_a))
 
-    # ---- stage B: the durations stage A just predicted, production bucket ----
     totals = jnp.minimum(
         jnp.sum(durations, axis=1).astype(jnp.int32), y_fine_len
     )
 
-    def run_b(mu_x):
-        mel, wav, _ = synth._decode_jit(
+    def run_b(mu):
+        _, wav, _ = synth._decode_jit(
             synth.params,
             synth.vocos_params,
-            mu_x,
+            mu,
             durations,
             x_mask,
             totals,
@@ -136,48 +133,232 @@ def main():
         wav = run_b(mu_x + jnp.float32(i) * 1e-6)
         checksum += float(jnp.sum(wav[:, :8]))  # force exec + D2H per iter
         times_b.append(time.perf_counter() - t0)
-    elapsed_b = float(np.median(times_b))
 
-    elapsed = elapsed_a + elapsed_b
+    # median: robust to transport stragglers (tunnel round-trips vary 2x)
+    elapsed_a = float(np.median(times_a))
+    elapsed_b = float(np.median(times_b))
     coarse_frames = y_fine_len // 2
     audio_seconds = batch * (coarse_frames - 1) * 256 / 24000
-    rtf = elapsed / audio_seconds
-    target = 0.01  # BASELINE.json north star: RTF < 0.01 per v5e chip
-
-    flops = _cost_flops(
-        synth._encode_jit, synth.params, x_all[0], x_lengths, spk_enc, spk_dur, scale
-    ) + _cost_flops(
-        synth._decode_jit,
-        synth.params,
-        synth.vocos_params,
-        mu_x,
-        durations,
-        x_mask,
-        totals,
-        y_fine_len=y_fine_len,
-        n_timesteps=4,
-        solver="midpoint",
-    )
-    mfu = flops / elapsed / V5E_PEAK_FLOPS if flops else None
-
-    print(
-        json.dumps(
-            {
-                "metric": "batched_synthesis_rtf_per_chip",
-                "value": round(rtf, 6),
-                "unit": "rtf",
-                "vs_baseline": round(rtf / target, 4),
-                "mfu": round(mfu, 4) if mfu is not None else None,
-                "stage_breakdown": {
-                    "encoder_ms": round(elapsed_a * 1e3, 3),
-                    "decode_vocoder_ms": round(elapsed_b * 1e3, 3),
-                    "batch": batch,
-                    "audio_seconds": round(audio_seconds, 2),
-                    "tflops_per_call": round(flops / 1e12, 3) if flops else None,
-                },
-            }
+    out = {
+        "batch": batch,
+        "encoder_ms": round(elapsed_a * 1e3, 3),
+        "decode_vocoder_ms": round(elapsed_b * 1e3, 3),
+        "total_ms": round((elapsed_a + elapsed_b) * 1e3, 3),
+        "audio_seconds": round(audio_seconds, 2),
+        "rtf": (elapsed_a + elapsed_b) / audio_seconds,
+        "_rerun": (run_a, run_b, x_all, mu_x),  # for the profiler pass
+        "_inputs": {  # for the inner-repeat device probe
+            "x": x_all[0], "x_lengths": x_lengths, "spk_enc": spk_enc,
+            "spk_dur": spk_dur, "scale": scale, "mu_x": mu_x,
+            "durations": durations, "x_mask": x_mask, "totals": totals,
+            "y_fine_len": y_fine_len,
+        },
+    }
+    if with_flops:
+        out["flops"] = _cost_flops(
+            synth._encode_jit, synth.params, x_all[0], x_lengths, spk_enc,
+            spk_dur, scale,
+        ) + _cost_flops(
+            synth._decode_jit,
+            synth.params,
+            synth.vocos_params,
+            mu_x,
+            durations,
+            x_mask,
+            totals,
+            y_fine_len=y_fine_len,
+            n_timesteps=4,
+            solver="midpoint",
         )
-    )
+    return out
+
+
+def device_probe(synth, point, k=4, reps=5):
+    """Inner-repeat device-time estimate per stage (no profiler needed).
+
+    Jits a variant of each stage whose body executes the stage K times
+    back-to-back with a sequential data dependency (iteration i's scalar
+    output perturbs iteration i+1's input, so XLA cannot overlap or CSE
+    them) and returns only a scalar.  Fixed per-dispatch costs (host work,
+    transport round-trip, output D2H) are identical between the n=1 and
+    n=K programs, so
+
+        device_ms ~= (wall_K - wall_1) / (K - 1)
+        fixed_ms  ~= wall_1 - device_ms
+    """
+    import functools
+
+    from jax import lax
+
+    i = point["_inputs"]
+    x, x_lengths = i["x"], i["x_lengths"]
+    spk_enc, spk_dur, scale = i["spk_enc"], i["spk_dur"], i["scale"]
+    mu_x, durations, x_mask = i["mu_x"], i["durations"], i["x_mask"]
+    totals, y_fine_len = i["totals"], i["y_fine_len"]
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def rep_a(params, seed, n):
+        def body(_, acc):
+            mu, dur, _ = synth._encode(
+                params, x, x_lengths, spk_enc + acc, spk_dur, scale
+            )
+            return jnp.sum(mu[:, 0, 0]) * 1e-12
+        return lax.fori_loop(0, n, body, seed)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def rep_b(params, vparams, seed, n):
+        def body(_, acc):
+            _, wav, _ = synth._decode(
+                params, vparams, mu_x + acc, durations, x_mask, totals,
+                y_fine_len=y_fine_len, n_timesteps=4, solver="midpoint",
+            )
+            return jnp.sum(wav[:, 0]) * 1e-12
+        return lax.fori_loop(0, n, body, seed)
+
+    def timed(fn, *args, n):
+        fn(*args, n=n).block_until_ready()  # warmup/compile
+        ts = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            fn(*args, n=n).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    out = {}
+    for name, fn, args in (
+        ("encode", rep_a, (synth.params,)),
+        ("decode", rep_b, (synth.params, synth.vocos_params)),
+    ):
+        w1 = timed(fn, *args, jnp.float32(0.0), n=1)
+        wk = timed(fn, *args, jnp.float32(0.0), n=k)
+        dev = (wk - w1) / (k - 1)
+        out[f"device_{name}_ms"] = round(dev * 1e3, 3)
+        out[f"fixed_overhead_{name}_ms"] = round((w1 - dev) * 1e3, 3)
+    out["method"] = f"inner-repeat k={k} (device_ms = (wall_k-wall_1)/(k-1))"
+    return out
+
+
+def device_breakdown(point, iters=5, logdir="/tmp/bench_trace"):
+    """Re-run the warm stage loops under jax.profiler and split device
+    busy time per stage (XPlane 'XLA Modules' lines).  Returns None when
+    the profiler or trace parsing is unavailable (e.g. a transport that
+    does not forward device traces)."""
+    import shutil
+
+    run_a, run_b, x_all, mu_x = point["_rerun"]
+    shutil.rmtree(logdir, ignore_errors=True)
+    try:
+        jax.profiler.start_trace(logdir)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            _, dur_i, _ = run_a(x_all[i])
+            _ = float(jnp.sum(dur_i[:, :8]))
+        t1 = time.perf_counter()
+        for i in range(iters):
+            wav = run_b(mu_x + jnp.float32(i) * 1e-6)
+            _ = float(jnp.sum(wav[:, :8]))
+        t2 = time.perf_counter()
+        jax.profiler.stop_trace()
+
+        from matcha_tpu.utils.trace_analysis import device_stats
+
+        stats = device_stats(logdir)
+        # attribute modules to stages by name (jit(_encode) / jit(_decode));
+        # anything else (checksum slices) is counted as "other"
+        per_stage = {"encode": 0.0, "decode": 0.0, "other": 0.0}
+        for name, m in stats["modules"].items():
+            if "_encode" in name:
+                per_stage["encode"] += m["ms"]
+            elif "_decode" in name:
+                per_stage["decode"] += m["ms"]
+            else:
+                per_stage["other"] += m["ms"]
+        return {
+            "device_encode_ms": round(per_stage["encode"] / iters, 3),
+            "device_decode_ms": round(per_stage["decode"] / iters, 3),
+            "device_other_ms": round(per_stage["other"] / iters, 3),
+            "wall_encode_ms": round((t1 - t0) / iters * 1e3, 3),
+            "wall_decode_ms": round((t2 - t1) / iters * 1e3, 3),
+            "trace_iters": iters,
+        }
+    except Exception as exc:  # tracing must never break the bench
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
+        return {"error": f"{type(exc).__name__}: {exc}"}
+
+
+def main():
+    import dataclasses
+
+    from matcha_tpu.inference import MatchaSynthesizer
+    from matcha_tpu.models.config import MatchaConfig
+    from matcha_tpu.models.matcha import init_params
+    from matcha_tpu.vocoder.vocos import VocosConfig, init_vocos_params
+
+    # production serving operating point: bf16 activations (the reference
+    # serves under torch.autocast bf16 too) with fp32 quality islands
+    cfg = dataclasses.replace(MatchaConfig(), compute_dtype="bfloat16")
+    vocos_cfg = VocosConfig(compute_dtype="bfloat16")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    vocos_params = init_vocos_params(jax.random.PRNGKey(1), vocos_cfg)
+    synth = MatchaSynthesizer(cfg, params, vocos_params, vocos_cfg)
+
+    # headline: B=16 is the throughput knee (scaling probe below)
+    head = measure(synth, cfg, batch=16, with_flops=True)
+    rtf = head["rtf"]
+    target = 0.01  # BASELINE.json north star: RTF < 0.01 per v5e chip
+    flops = head.pop("flops", 0.0)
+    mfu = flops / (head["total_ms"] / 1e3) / V5E_PEAK_FLOPS if flops else None
+
+    # p50 single-utterance latency: one request, both stages
+    lat = measure(synth, cfg, batch=1, seed=1)
+
+    device = None
+    if os.environ.get("BENCH_DEVICE", "1") != "0":
+        try:
+            device = device_probe(synth, head)
+        except Exception as exc:  # probing must never break the bench
+            device = {"error": f"{type(exc).__name__}: {exc}"}
+    if os.environ.get("BENCH_TRACE") == "1":
+        # XPlane traces: real TPU hosts only — the profiler RPC hangs
+        # through the axon remote transport
+        device = {**(device or {}), "trace": device_breakdown(head)}
+
+    scaling = None
+    if os.environ.get("BENCH_SCALING") == "1":
+        scaling = {}
+        for b in (1, 8, 16, 32):
+            p = (
+                head if b == 16
+                else lat if b == 1
+                else measure(synth, cfg, batch=b, seed=b)
+            )
+            scaling[str(b)] = {
+                "rtf": round(p["rtf"], 6), "total_ms": p["total_ms"]
+            }
+
+    for p in (head, lat):
+        p.pop("_rerun", None)
+        p.pop("_inputs", None)
+    head.pop("rtf", None)
+    result = {
+        "metric": "batched_synthesis_rtf_per_chip",
+        "value": round(rtf, 6),
+        "unit": "rtf",
+        "vs_baseline": round(rtf / target, 4),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "latency_p50_b1_ms": lat["total_ms"],
+        "stage_breakdown": {
+            **head,
+            "tflops_per_call": round(flops / 1e12, 3) if flops else None,
+        },
+        "device_breakdown": device,
+    }
+    if scaling is not None:
+        result["batch_scaling"] = scaling
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -199,10 +199,11 @@ class TestOptimizerFeatures:
 
 
 class TestMasBackendGating:
-    def test_mesh_trainer_forces_scan(self, tmp_path):
-        """A mesh trainer must not route MAS through the Pallas kernel: a
+    def test_mesh_trainer_resolves_auto_backend(self, tmp_path):
+        """A mesh trainer must not leave MAS on the bare Pallas kernel: a
         pallas_call inside the GSPMD-sharded step has no batch partitioning
-        rule (validated conservative choice; see MatchaConfig.mas_backend)."""
+        rule.  'auto' resolves to the shard_map kernel on TPU and to the
+        portable scan on this CPU test backend (MatchaConfig.mas_backend)."""
         import numpy as np
 
         from matcha_tpu.data.dataset import TextMelDataset
