@@ -56,6 +56,12 @@ def main(argv=None):
         help="estimate device ms via an inner-repeat program running the "
         "step K times in one dispatch (extra ~Kx compile)",
     )
+    parser.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="run the step under an N-device data-parallel mesh (N=1 on "
+        "the single-chip dev tunnel exercises the mesh code path, incl. "
+        "the shard_map Pallas MAS default)",
+    )
     args = parser.parse_args(argv)
 
     cfg = dataclasses.replace(
@@ -63,8 +69,25 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         mas_backend=args.mas_backend,
     )
+    mesh = None
+    if args.mesh:
+        from matcha_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[: args.mesh])
+        if cfg.mas_backend == "auto":
+            # mirror Trainer's mesh resolution (train/trainer.py)
+            backend = (
+                "pallas_shard_map"
+                if jax.default_backend() == "tpu"
+                else "scan"
+            )
+            cfg = dataclasses.replace(cfg, mas_backend=backend)
+        if cfg.mas_backend == "pallas_shard_map":
+            from matcha_tpu.ops.mas import set_mas_shard_mesh
+
+            set_mas_shard_mesh(mesh)
     tx_opt = optax.chain(optax.clip_by_global_norm(4.0), optax.adamw(1e-4))
-    train_step, _ = make_train_step(cfg, tx_opt)
+    train_step, _ = make_train_step(cfg, tx_opt, mesh=mesh)
     state = init_train_state(cfg, tx_opt, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
@@ -167,7 +190,8 @@ def main(argv=None):
                 "tx": t_x,
                 "coarse_frames": ty,
                 "compute_dtype": args.compute_dtype,
-                "mas_backend": args.mas_backend,
+                "mas_backend": cfg.mas_backend,
+                "mesh_devices": args.mesh or None,
                 "device": device,
             }
         )
