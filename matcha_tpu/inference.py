@@ -182,6 +182,10 @@ class MatchaSynthesizer:
         self._decode_jit = jax.jit(
             self._decode, static_argnames=("y_fine_len", "n_timesteps", "solver")
         )
+        self._fused_jit = jax.jit(
+            self._synth_fused,
+            static_argnames=("y_fine_len", "n_timesteps", "solver"),
+        )
 
     # -- stage A ------------------------------------------------------------
 
@@ -263,6 +267,58 @@ class MatchaSynthesizer:
         wav = jnp.where(peak > 1.0, wav / peak * 0.95, wav)
         return mel, wav, enc_mel
 
+    # -- fused single-dispatch path ------------------------------------------
+
+    def _synth_fused(
+        self,
+        params,
+        vocos_params,
+        x,
+        x_lengths,
+        spk_enc,
+        spk_dur,
+        scale,
+        *,
+        y_fine_len: int,
+        n_timesteps: int,
+        solver: str,
+    ):
+        """Both stages in ONE compiled program (one dispatch, one D2H).
+
+        The two-stage path exists because the mel bucket is chosen on host
+        from predicted durations; here the mel length is fixed up-front to a
+        bucket predicted from the TEXT length, and the true total duration is
+        returned so the host can detect (rare) overflow and fall back.  Cuts
+        the per-request fixed dispatch cost in half — which the measured
+        device/transport split shows is the dominant term for B=1 requests
+        (documentation/performance.md: stage A is 1.9 ms device work inside
+        ~33 ms of dispatch overhead)."""
+        mu_x, durations, x_mask = self._encode(
+            params, x, x_lengths, spk_enc, spk_dur, scale
+        )
+        total = jnp.sum(durations, axis=1).astype(jnp.int32)  # (B,)
+        y_fine_lengths = jnp.clip(total, 2, y_fine_len)
+        mel, wav, enc_mel = self._decode(
+            params,
+            vocos_params,
+            mu_x,
+            durations,
+            x_mask,
+            y_fine_lengths,
+            y_fine_len=y_fine_len,
+            n_timesteps=n_timesteps,
+            solver=solver,
+        )
+        return mel, wav, total
+
+    def predict_fine_bucket(self, tx: int) -> int:
+        """Mel bucket guess from the text bucket: ~8 fine frames (40 ms) per
+        token (same heuristic the warmup ladder uses), clamped to the
+        ladder."""
+        expect = (tx // 2) * 8
+        expect = min(expect, self.mel_fine_buckets[-1])
+        return pick_bucket(expect, self.mel_fine_buckets)
+
     # -- public -------------------------------------------------------------
 
     def speaker_embedding(self, voice_mix: Sequence[tuple[int, float]]):
@@ -312,6 +368,7 @@ class MatchaSynthesizer:
         length_scale: float = 1.0,
         scale_correction: float | None = None,
         debug: bool = False,
+        fused: bool = False,
     ) -> SynthesisResult:
         t0 = time.perf_counter()
         if voice_mix is None:
@@ -328,6 +385,44 @@ class MatchaSynthesizer:
         # (1, 1)-shaped so the b=1 program is the SAME executable as the
         # batched path's (B, 1) per-sample scale — one warmup covers both
         scale = jnp.full((1, 1), scale_correction * length_scale, jnp.float32)
+
+        if fused and not debug:
+            y_fine_len = self.predict_fine_bucket(tx)
+            mel, wav, total_dev = self._fused_jit(
+                self.params,
+                self.vocos_params,
+                jnp.asarray(x),
+                x_lengths,
+                spk_enc,
+                spk_dur,
+                scale,
+                y_fine_len=y_fine_len,
+                n_timesteps=n_timesteps,
+                solver=solver,
+            )
+            total_fine = int(np.asarray(total_dev)[0])
+            if total_fine <= y_fine_len:
+                n_frames = (max(total_fine, 2) + 1) // 2
+                if wav is not None:
+                    n_samples = max((n_frames - 1) * STD_RES_HOP_LENGTH, 0)
+                    wav_np = trim_trailing_silence(
+                        np.asarray(wav)[0, :n_samples]
+                    )
+                else:
+                    wav_np = np.zeros((0,), np.float32)
+                elapsed = time.perf_counter() - t0
+                audio_sec = (
+                    len(wav_np) / SAMPLE_RATE
+                    if len(wav_np)
+                    else n_frames * STD_RES_HOP_LENGTH / SAMPLE_RATE
+                )
+                return SynthesisResult(
+                    wav=wav_np,
+                    rtf=elapsed / max(audio_sec, 1e-9),
+                    latency_s=elapsed,
+                )
+            # rare overflow (speech longer than the text-predicted bucket):
+            # fall through to the exact two-stage path below
 
         mu_x, durations, x_mask = self._encode_jit(
             self.params, jnp.asarray(x), x_lengths, spk_enc, spk_dur, scale
@@ -566,8 +661,13 @@ class MatchaSynthesizer:
         solver: str = DEFAULT_ODE_SOLVER,
         full: bool = False,
         batch_sizes: Sequence[int] = (1,),
+        fused: bool = False,
     ):
         """Pre-compile serving programs.
+
+        ``fused=True`` additionally compiles the single-dispatch fused
+        program for each text bucket at its predicted mel bucket (the pair
+        ``synthesise_ids(fused=True)`` will request).
 
         ``full=True`` compiles EVERY reachable (text, mel) bucket pair —
         recompile-free serving guaranteed (pair with the persistent
@@ -597,6 +697,21 @@ class MatchaSynthesizer:
         for b in batch_sizes:
             for tx, yf in pairs:
                 self._warm_pair(tx, yf, n_timesteps, solver, b=b)
+        if fused:
+            for tx in self.text_buckets:
+                out = self._fused_jit(
+                    self.params,
+                    self.vocos_params,
+                    jnp.zeros((1, tx), jnp.int32),
+                    jnp.full((1,), max(tx // 2, 2), jnp.int32),
+                    jnp.zeros((1, self.cfg.spk_emb_dim), jnp.float32),
+                    jnp.zeros((1, self.cfg.spk_emb_dim), jnp.float32),
+                    jnp.ones((1, 1), jnp.float32),
+                    y_fine_len=self.predict_fine_bucket(tx),
+                    n_timesteps=n_timesteps,
+                    solver=solver,
+                )
+                jax.block_until_ready(out)
 
 
 def trim_trailing_silence(audio: np.ndarray, silence_threshold_db: float = -60.0) -> np.ndarray:

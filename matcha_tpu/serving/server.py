@@ -73,6 +73,11 @@ class TTSService:
         self.synth = synthesizer
         self.ready = False
         self.batcher = None
+        # SERVE_FUSED=1: serial requests go through the single-dispatch
+        # fused program (half the per-request fixed dispatch cost — the
+        # dominant B=1 term per documentation/performance.md); rare bucket
+        # overflows transparently fall back to the exact two-stage path
+        self.fused = os.environ.get("SERVE_FUSED", "0") == "1"
         if use_batcher:
             from matcha_tpu.serving.batcher import RequestBatcher
 
@@ -93,7 +98,9 @@ class TTSService:
             for s in os.environ.get("WARMUP_BATCH_SIZES", "1").split(",")
         )
         self.synth.warmup(
-            full=os.environ.get("WARMUP_FULL", "0") == "1", batch_sizes=sizes
+            full=os.environ.get("WARMUP_FULL", "0") == "1",
+            batch_sizes=sizes,
+            fused=self.fused,
         )
         self.ready = True
 
@@ -143,6 +150,7 @@ class TTSService:
                 n_timesteps=steps,
                 solver=solver,
                 length_scale=length_scale,
+                fused=self.fused,
             )
         elapsed = time.perf_counter() - t0
         audio_sec = len(result.wav) / SAMPLE_RATE

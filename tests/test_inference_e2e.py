@@ -72,6 +72,29 @@ class TestSynthesiseIds:
         assert r.mel is not None and r.mel.shape[1] == CFG.n_feats
         assert r.durations is not None and len(r.durations) == len(ids)
 
+    def test_fused_matches_two_stage(self, synth):
+        """The single-dispatch fused program must produce the same audio as
+        the two-stage path (same model math; only dispatch count differs).
+        Padded-bucket invariance makes the comparison exact up to the fp
+        noise of a differently-padded program."""
+        ids = list(np.random.default_rng(4).integers(0, 600, 10))
+        two = synth.synthesise_ids(ids, speaker=1, n_timesteps=2)
+        one = synth.synthesise_ids(ids, speaker=1, n_timesteps=2, fused=True)
+        assert len(one.wav) == len(two.wav)
+        np.testing.assert_allclose(one.wav, two.wav, atol=1e-4)
+
+    def test_fused_overflow_falls_back(self, synth, monkeypatch):
+        """When true durations exceed the text-predicted mel bucket, the
+        fused path must fall back to the exact two-stage result — never
+        truncate speech."""
+        # 64 tokens -> >= 64 fine frames (1-frame floor per token); a
+        # patched 16-frame prediction guarantees overflow
+        ids = list(np.random.default_rng(5).integers(0, 600, 64))
+        two = synth.synthesise_ids(ids, speaker=0, n_timesteps=2)
+        monkeypatch.setattr(synth, "predict_fine_bucket", lambda tx: 16)
+        one = synth.synthesise_ids(ids, speaker=0, n_timesteps=2, fused=True)
+        np.testing.assert_array_equal(one.wav, two.wav)
+
     def test_duration_floor_one_frame(self, synth):
         # random weights predict exp(0)-2 < 0 per token, so every duration
         # clips to the 1-frame floor regardless of scale — the contract is
