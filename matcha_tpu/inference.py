@@ -487,12 +487,18 @@ class MatchaSynthesizer:
         solver: str = DEFAULT_ODE_SOLVER,
         length_scales: Sequence[float] | None = None,
         voice_mixes: Sequence[Sequence[tuple[int, float]]] | None = None,
+        fused: bool = False,
     ) -> list[SynthesisResult]:
         """Batched synthesis: the serving-side throughput lever.
 
         The reference server is strictly serial (SURVEY.md §2.6); here
         concurrent requests share one padded TPU program: all utterances are
         padded to the common text/mel buckets and decoded in a single call.
+
+        ``fused=True`` issues the group as ONE dispatch (the mel bucket is
+        predicted from the text bucket; transparent two-dispatch retry when
+        any utterance overflows it) — at the measured transport knee each
+        dispatch costs ~30 ms fixed, so this nearly halves group latency.
         """
         t0 = time.perf_counter()
         b = len(id_lists)
@@ -539,6 +545,28 @@ class MatchaSynthesizer:
             x_dev, x_lengths, spk_enc, spk_dur, scale = shard_batch(
                 self.mesh, (x_dev, x_lengths, spk_enc, spk_dur, scale)
             )
+
+        if fused:
+            yf_pred = self.predict_fine_bucket(tx)
+            mel, wav, total_dev = self._fused_jit(
+                self.params,
+                self.vocos_params,
+                x_dev,
+                x_lengths,
+                spk_enc,
+                spk_dur,
+                scale,
+                y_fine_len=yf_pred,
+                n_timesteps=n_timesteps,
+                solver=solver,
+            )
+            totals = np.asarray(total_dev).astype(int)
+            if int(totals[:b].max(initial=2)) <= yf_pred:
+                totals = np.clip(totals, 2, yf_pred)
+                return self._collect_batch_results(b, wav, totals, t0)
+            # overflow in at least one utterance: fall through to the exact
+            # two-stage path (costs the same two dispatches as non-fused)
+
         mu_x, durations, x_mask = self._encode_jit(
             self.params, x_dev, x_lengths, spk_enc, spk_dur, scale
         )
@@ -556,9 +584,12 @@ class MatchaSynthesizer:
             n_timesteps=n_timesteps,
             solver=solver,
         )
-        elapsed = time.perf_counter() - t0
+        return self._collect_batch_results(b, wav, totals, t0)
 
-        results = []
+    def _collect_batch_results(
+        self, b: int, wav, totals, t0: float
+    ) -> list[SynthesisResult]:
+        elapsed = time.perf_counter() - t0
         wav_np = np.asarray(wav) if wav is not None else None
         wavs = []
         for k in range(b):
@@ -574,11 +605,10 @@ class MatchaSynthesizer:
         # full call's wall time (the request waited for the whole batch)
         total_audio = max(sum(len(w) for w in wavs) / SAMPLE_RATE, 1e-9)
         batch_rtf = elapsed / total_audio
-        for w in wavs:
-            results.append(
-                SynthesisResult(wav=w, rtf=batch_rtf, latency_s=elapsed)
-            )
-        return results
+        return [
+            SynthesisResult(wav=w, rtf=batch_rtf, latency_s=elapsed)
+            for w in wavs
+        ]
 
     def synthesise(
         self,
@@ -698,20 +728,28 @@ class MatchaSynthesizer:
             for tx, yf in pairs:
                 self._warm_pair(tx, yf, n_timesteps, solver, b=b)
         if fused:
-            for tx in self.text_buckets:
-                out = self._fused_jit(
-                    self.params,
-                    self.vocos_params,
-                    jnp.zeros((1, tx), jnp.int32),
-                    jnp.full((1,), max(tx // 2, 2), jnp.int32),
-                    jnp.zeros((1, self.cfg.spk_emb_dim), jnp.float32),
-                    jnp.zeros((1, self.cfg.spk_emb_dim), jnp.float32),
-                    jnp.ones((1, 1), jnp.float32),
-                    y_fine_len=self.predict_fine_bucket(tx),
-                    n_timesteps=n_timesteps,
-                    solver=solver,
-                )
-                jax.block_until_ready(out)
+            for b in batch_sizes:
+                for tx in self.text_buckets:
+                    args = (
+                        jnp.zeros((b, tx), jnp.int32),
+                        jnp.full((b,), max(tx // 2, 2), jnp.int32),
+                        jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
+                        jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
+                        jnp.ones((b, 1), jnp.float32),
+                    )
+                    if self.mesh is not None:
+                        from matcha_tpu.parallel.mesh import shard_batch
+
+                        args = shard_batch(self.mesh, args)
+                    out = self._fused_jit(
+                        self.params,
+                        self.vocos_params,
+                        *args,
+                        y_fine_len=self.predict_fine_bucket(tx),
+                        n_timesteps=n_timesteps,
+                        solver=solver,
+                    )
+                    jax.block_until_ready(out)
 
 
 def trim_trailing_silence(audio: np.ndarray, silence_threshold_db: float = -60.0) -> np.ndarray:

@@ -37,8 +37,10 @@ class RequestBatcher:
         synthesizer,
         max_batch: int = 8,
         max_wait_ms: float = 15.0,
+        fused: bool = False,
     ):
         self.synth = synthesizer
+        self.fused = fused  # single-dispatch groups (see SERVE_FUSED)
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.q: queue.Queue[_Pending] = queue.Queue()
@@ -140,6 +142,7 @@ class RequestBatcher:
                 solver=group[0].solver,
                 length_scales=[g.length_scale for g in group],
                 voice_mixes=[g.voice_mix for g in group],
+                fused=self.fused,
             )
             for g, r in zip(group, results):
                 g.future.set_result(r)

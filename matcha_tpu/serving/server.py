@@ -85,6 +85,7 @@ class TTSService:
                 synthesizer,
                 max_batch=int(os.environ.get("BATCHER_MAX_BATCH", "8")),
                 max_wait_ms=float(os.environ.get("BATCHER_MAX_WAIT_MS", "15")),
+                fused=self.fused,
             )
 
     def warmup(self):

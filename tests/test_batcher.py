@@ -26,7 +26,8 @@ class FakeSynth:
         self.lock = threading.Lock()
 
     def synthesise_batch(self, id_lists, speakers=None, n_timesteps=4,
-                         solver="midpoint", length_scales=None, voice_mixes=None):
+                         solver="midpoint", length_scales=None, voice_mixes=None,
+                         fused=False):
         with self.lock:
             self.calls.append(
                 {

@@ -95,6 +95,17 @@ class TestSynthesiseIds:
         one = synth.synthesise_ids(ids, speaker=0, n_timesteps=2, fused=True)
         np.testing.assert_array_equal(one.wav, two.wav)
 
+    def test_fused_batch_matches_two_stage(self, synth):
+        rng = np.random.default_rng(6)
+        id_lists = [list(rng.integers(0, 600, n)) for n in (8, 12, 5)]
+        two = synth.synthesise_batch(id_lists, speakers=[0, 1, 2], n_timesteps=2)
+        one = synth.synthesise_batch(
+            id_lists, speakers=[0, 1, 2], n_timesteps=2, fused=True
+        )
+        for a, b in zip(one, two):
+            assert len(a.wav) == len(b.wav)
+            np.testing.assert_allclose(a.wav, b.wav, atol=1e-4)
+
     def test_duration_floor_one_frame(self, synth):
         # random weights predict exp(0)-2 < 0 per token, so every duration
         # clips to the 1-frame floor regardless of scale — the contract is
