@@ -173,6 +173,52 @@ def measure(
     return out
 
 
+def measure_fused(synth, cfg, batch=1, iters=ITERS, seed=2, tx=TX):
+    """Median wall time of the SINGLE-dispatch fused path (SERVE_FUSED).
+
+    Same work as stage A + stage B but one program / one transport
+    round-trip — the number a lone server request sees with SERVE_FUSED=1.
+    """
+    rng = np.random.default_rng(seed)
+    x_all = [
+        jnp.asarray(rng.integers(0, 600, (batch, tx)), jnp.int32)
+        for _ in range(iters + 1)
+    ]
+    x_lengths = jnp.full((batch,), tx, jnp.int32)
+    spk_enc = jnp.zeros((batch, cfg.spk_emb_dim), jnp.float32)
+    spk_dur = jnp.zeros((batch, cfg.spk_emb_dim), jnp.float32)
+    scale = jnp.ones((batch, 1), jnp.float32)
+    y_fine_len = synth.predict_fine_bucket(tx)
+
+    def run(x):
+        _, wav, total = synth._fused_jit(
+            synth.params, synth.vocos_params, x, x_lengths, spk_enc,
+            spk_dur, scale, y_fine_len=y_fine_len, n_timesteps=4,
+            solver="midpoint",
+        )
+        return wav, total
+
+    wav, total = run(x_all[-1])  # warmup/compile
+    _ = float(jnp.sum(wav[:, :8])) + int(np.asarray(total)[0])
+
+    checksum, times = 0.0, []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        wav, total = run(x_all[i])
+        # force exec + the same D2H pattern serving does (total + wav slice)
+        checksum += float(jnp.sum(wav[:, :8])) + int(np.asarray(total)[0])
+        times.append(time.perf_counter() - t0)
+
+    elapsed = float(np.median(times))
+    audio_seconds = batch * (y_fine_len // 2 - 1) * 256 / 24000
+    return {
+        "batch": batch,
+        "total_ms": round(elapsed * 1e3, 3),
+        "rtf": elapsed / audio_seconds,
+        "y_fine_len": y_fine_len,
+    }
+
+
 def device_probe(synth, point, k=4, reps=5):
     """Inner-repeat device-time estimate per stage (no profiler needed).
 
@@ -314,6 +360,14 @@ def main():
 
     # p50 single-utterance latency: one request, both stages
     lat = measure(synth, cfg, batch=1, seed=1)
+    # ... and through the fused single-dispatch program (SERVE_FUSED=1):
+    # same work, half the fixed transport cost
+    fused = None
+    if os.environ.get("BENCH_FUSED", "1") != "0":
+        try:
+            fused = measure_fused(synth, cfg, batch=1)
+        except Exception as exc:  # never break the headline
+            fused = {"error": f"{type(exc).__name__}: {exc}"}
 
     device = None
     if os.environ.get("BENCH_DEVICE", "1") != "0":
@@ -350,11 +404,15 @@ def main():
         "vs_baseline": round(rtf / target, 4),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "latency_p50_b1_ms": lat["total_ms"],
+        "latency_p50_b1_fused_ms": (
+            fused.get("total_ms") if isinstance(fused, dict) else None
+        ),
         "stage_breakdown": {
             **head,
             "tflops_per_call": round(flops / 1e12, 3) if flops else None,
         },
         "device_breakdown": device,
+        "fused_b1": fused,
     }
     if scaling is not None:
         result["batch_scaling"] = scaling

@@ -63,3 +63,14 @@ def test_device_probe_inner_repeat(synth):
     assert np.isfinite(dev["device_encode_ms"])
     assert np.isfinite(dev["device_decode_ms"])
     assert dev["device_decode_ms"] > 0
+
+
+@pytest.mark.slow
+def test_measure_fused_fields(synth):
+    """The fused-path latency probe runs the single-dispatch program and
+    reports a positive wall time and the predicted mel bucket."""
+    cfg, s = synth
+    point = bench.measure_fused(s, cfg, batch=1, iters=2, tx=16)
+    assert point["batch"] == 1
+    assert point["total_ms"] > 0 and point["rtf"] > 0
+    assert point["y_fine_len"] in s.mel_fine_buckets

@@ -1,0 +1,204 @@
+"""Attribute stage B's DEVICE time to its components on the current backend.
+
+Stage B (alignment -> CFM ODE -> Vocos) measures ~41 ms of device compute
+at the B=16 headline point (documentation/performance.md).  This tool
+splits that across:
+
+    align      prior assembly: duration cumsum -> searchsorted gather ->
+               downsample -> masks (the pre-ODE prelude of `_decode`)
+    unet_eval  ONE decoder (U-Net) evaluation — the ODE runs 2*steps of
+               these (8 at the production midpoint/4 operating point)
+    ode        the full 4-step midpoint integration (8 U-Net evals)
+    vocos      ConvNeXt backbone + ISTFT head vocoder decode
+    stage_b    the complete `_decode` program (sum check)
+
+Device time per component comes from the same inner-repeat method bench.py
+uses (jax.profiler's trace RPC hangs through the axon dev tunnel): jit a
+variant whose body runs the component K times back-to-back with a
+sequential data dependency, then
+
+    device_ms ~= (wall_K - wall_1) / (K - 1)
+
+Usage:
+    python tools/profile_stage_b.py [--batch 16] [--tx 256] [--fine 1024]
+        [--k 4] [--reps 5] [--components align,unet_eval,ode,vocos,stage_b]
+
+Prints one JSON line.  First run compiles 2 programs per component through
+the tunnel (minutes); the persistent cache makes reruns fast.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
+
+def inner_repeat(fn, *args, k=4, reps=5):
+    """Median-timed (wall_1, wall_k, device_ms, fixed_ms) for ``fn``.
+
+    ``fn(acc, *args)`` must consume a scalar ``acc`` (perturbing its inputs
+    so XLA cannot CSE iterations) and return a scalar.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def rep(seed, n, *a):
+        def body(_, acc):
+            return fn(acc, *a)
+
+        return lax.fori_loop(0, n, body, seed)
+
+    def timed(n):
+        rep(jnp.float32(0.0), n, *args).block_until_ready()  # warmup/compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rep(jnp.float32(0.0), n, *args).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    w1 = timed(1)
+    wk = timed(k)
+    dev = (wk - w1) / (k - 1)
+    return {
+        "device_ms": round(dev * 1e3, 3),
+        "fixed_ms": round((w1 - dev) * 1e3, 3),
+    }
+
+
+def main(argv=None):
+    import dataclasses
+
+    from matcha_tpu.inference import MatchaSynthesizer
+    from matcha_tpu.models.config import MatchaConfig
+    from matcha_tpu.models.decoder import Decoder
+    from matcha_tpu.models.matcha import MatchaTTS, init_params
+    from matcha_tpu.utils.model_math import downsample_time, sequence_mask
+    from matcha_tpu.vocoder.vocos import Vocos, VocosConfig, init_vocos_params
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--tx", type=int, default=256)
+    p.add_argument("--fine", type=int, default=1024)  # fine mel frames
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument(
+        "--components", default="align,unet_eval,ode,vocos,stage_b"
+    )
+    args = p.parse_args(argv)
+
+    cfg = dataclasses.replace(MatchaConfig(), compute_dtype=args.compute_dtype)
+    vcfg = VocosConfig(compute_dtype=args.compute_dtype)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    vparams = init_vocos_params(jax.random.PRNGKey(1), vcfg)
+    synth = MatchaSynthesizer(cfg, params, vparams, vcfg)
+    model = MatchaTTS(cfg)
+
+    b, tx, fine = args.batch, args.tx, args.fine
+    coarse = fine // 2
+    rng = np.random.default_rng(0)
+    # realistic stage-B inputs from a real stage-A run
+    x = jnp.asarray(rng.integers(0, 600, (b, tx)), jnp.int32)
+    x_lengths = jnp.full((b,), tx, jnp.int32)
+    spk = jnp.zeros((b, cfg.spk_emb_dim), jnp.float32)
+    scale = jnp.ones((b, 1), jnp.float32)
+    mu_x, durations, x_mask = synth._encode_jit(
+        synth.params, x, x_lengths, spk, spk, scale
+    )
+    totals = jnp.minimum(jnp.sum(durations, axis=1).astype(jnp.int32), fine)
+    dt = jnp.dtype(args.compute_dtype)
+    mu_y = jnp.asarray(rng.standard_normal((b, coarse, cfg.n_feats)), dt)
+    y_mask = sequence_mask(
+        jnp.full((b,), coarse, jnp.int32), coarse
+    ).astype(jnp.float32)
+    mel = jnp.asarray(rng.standard_normal((b, coarse, cfg.n_feats)), dt)
+    xt = mu_y
+
+    dec = Decoder(cfg=cfg.decoder, out_channels=cfg.n_feats, dtype=dt)
+    voc = Vocos(vcfg)
+
+    def align_fn(acc, mu_x, durations, x_mask):
+        cum = jnp.cumsum(durations.astype(jnp.int32), axis=1)
+        frames = jnp.arange(fine, dtype=jnp.int32)
+        idx = jax.vmap(lambda c: jnp.searchsorted(c, frames, side="right"))(cum)
+        in_range = (frames[None, :] < cum[:, -1:]).astype(jnp.float32)
+        idx = jnp.clip(idx, 0, mu_x.shape[1] - 1)
+        mu = jnp.take_along_axis(
+            (mu_x + acc).astype(jnp.float32), idx[..., None], axis=1
+        )
+        yf_mask = sequence_mask(totals, fine).astype(jnp.float32)
+        mu = mu * (yf_mask * in_range)[..., None]
+        return jnp.sum(downsample_time(mu)[:, 0, 0]) * 1e-12
+
+    def unet_fn(acc, params):
+        out = dec.apply(
+            {"params": params["decoder"]},
+            xt + acc.astype(dt),
+            y_mask,
+            mu_y,
+            jnp.full((b,), 0.5, dt),
+            deterministic=True,
+        )
+        return jnp.sum(out[:, 0, 0]).astype(jnp.float32) * 1e-12
+
+    def ode_fn(acc, params):
+        out = model.apply(
+            {"params": params},
+            mu_y + acc.astype(dt),
+            y_mask,
+            4,
+            "midpoint",
+            method=MatchaTTS.decode,
+        )
+        return jnp.sum(out[:, 0, 0]).astype(jnp.float32) * 1e-12
+
+    def vocos_fn(acc, vparams):
+        wav = voc.apply({"params": vparams}, mel + acc.astype(dt))
+        return jnp.sum(wav[:, :8]).astype(jnp.float32) * 1e-12
+
+    def stage_b_fn(acc, params, vparams):
+        _, wav, _ = synth._decode(
+            params, vparams, mu_x + acc, durations, x_mask, totals,
+            y_fine_len=fine, n_timesteps=4, solver="midpoint",
+        )
+        return jnp.sum(wav[:, 0]).astype(jnp.float32) * 1e-12
+
+    probes = {
+        "align": (align_fn, (mu_x, durations, x_mask)),
+        "unet_eval": (unet_fn, (synth.params,)),
+        "ode": (ode_fn, (synth.params,)),
+        "vocos": (vocos_fn, (synth.vocos_params,)),
+        "stage_b": (stage_b_fn, (synth.params, synth.vocos_params)),
+    }
+    want = [c.strip() for c in args.components.split(",") if c.strip()]
+    out = {
+        "batch": b, "tx": tx, "fine": fine, "coarse": coarse,
+        "compute_dtype": args.compute_dtype,
+        "method": f"inner-repeat k={args.k}",
+    }
+    for name in want:
+        fn, extra = probes[name]
+        out[name] = inner_repeat(fn, *extra, k=args.k, reps=args.reps)
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
