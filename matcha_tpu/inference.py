@@ -20,6 +20,7 @@ CPU exactly as in the reference — it is C-library, not accelerator, work.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass
 from typing import Any, Sequence
@@ -142,6 +143,11 @@ class MatchaSynthesizer:
         """``mesh``: optional jax Mesh for multi-chip batch fan-out — batched
         requests are sharded over the ``data`` axis (params replicated), so
         a v5e-8 host serves 8x the batch at single-chip latency."""
+        if mesh is not None and cfg.attention_backend == "auto":
+            # Pallas flash attention has no GSPMD partitioning rule — under
+            # the fan-out mesh the einsum SDPA shards with the batch axis
+            # (same resolution make_train_step applies; ops/attention.py)
+            cfg = dataclasses.replace(cfg, attention_backend="einsum")
         self.cfg = cfg
         self.mesh = mesh
         # speaker-mixing blends run in host numpy — grab the tables BEFORE

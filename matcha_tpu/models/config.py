@@ -90,6 +90,16 @@ class MatchaConfig:
     # no partitioning rule) and to the portable lax.scan elsewhere.
     # Explicit: "scan" | "pallas" | "pallas_shard_map".
     mas_backend: str = "auto"
+    # Self-attention implementation for the encoder and decoder blocks:
+    # "auto" resolves to the fused Pallas flash kernel on TPU backends for
+    # long sequences (>= 1024, where the einsum's materialized (B,H,T,T)
+    # logits dominate stage-B HBM traffic — measured 2.6-3.0x per call on
+    # v5e; ops/attention.py) when the static shape fits the kernel tiling,
+    # and to the materializing einsum SDPA elsewhere — XLA's fused
+    # attention wins at short buckets.  The einsum path stays authoritative
+    # for numerics (CPU parity tests) and for encoder training with
+    # attention-prob dropout.  Explicit: "einsum" | "flash".
+    attention_backend: str = "auto"
     prior_loss: bool = True
     prior_loss_threshold: float = 0.03   # Huber delta for the prior loss
     duration_loss_threshold: float = 1.0  # Huber delta for the duration loss

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from matcha_tpu.models.config import DecoderConfig
+from matcha_tpu.ops.attention import masked_self_attention
 
 
 def mish(x: jax.Array) -> jax.Array:
@@ -145,6 +146,7 @@ class DecoderTransformerBlock(nn.Module):
     head_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
@@ -160,17 +162,15 @@ class DecoderTransformerBlock(nn.Module):
         def split(y):
             return y.reshape(b, t, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
-        q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(self.head_dim)
-        key_valid = mask[:, None, None, :] > 0
-        logits = jnp.where(key_valid, logits, -jnp.inf)
-        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = masked_self_attention(
+            split(q), split(k), split(v), mask, backend=self.attn_backend
+        )
         out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
-        x = x + nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
+        # dropout sits AFTER the output projection, matching the reference's
+        # diffusers Attention (to_out = [Linear, Dropout]) — SDPA there runs
+        # with dropout_p=0, so attention probs are never dropped
+        out = nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
+        x = x + nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
         h = nn.LayerNorm(name="norm3", epsilon=1e-5, dtype=self.dtype)(x)
         x = x + SnakeBetaFFN(
@@ -195,6 +195,7 @@ class ConformerBlock(nn.Module):
     conv_kernel: int = 31
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
@@ -220,13 +221,9 @@ class ConformerBlock(nn.Module):
         def split(y):
             return y.reshape(b, t, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", split(q), split(k),
-            preferred_element_type=jnp.float32,
-        ) / math.sqrt(self.head_dim)
-        logits = jnp.where(mask[:, None, None, :] > 0, logits, -jnp.inf)
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, split(v))
+        out = masked_self_attention(
+            split(q), split(k), split(v), mask, backend=self.attn_backend
+        )
         out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
         x = x + nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
 
@@ -284,6 +281,7 @@ class Decoder(nn.Module):
     cfg: DecoderConfig
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask, mu, t, *, deterministic: bool = True):
@@ -319,6 +317,7 @@ class Decoder(nn.Module):
                     head_dim=cfg.attention_head_dim,
                     dropout=cfg.dropout,
                     dtype=self.dtype,
+                    attn_backend=self.attn_backend,
                     name=f"{stage}_tblock{bi}",
                 )(h, m, deterministic=deterministic)
             return h

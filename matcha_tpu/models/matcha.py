@@ -69,10 +69,15 @@ class MatchaTTS(nn.Module):
             n_vocab=N_VOCAB,
             spk_emb_dim=cfg.spk_emb_dim,
             dtype=dtype,
+            attn_backend=cfg.attention_backend,
             name="encoder",
         )
         self.decoder = Decoder(
-            cfg=cfg.decoder, out_channels=cfg.n_feats, dtype=dtype, name="decoder"
+            cfg=cfg.decoder,
+            out_channels=cfg.n_feats,
+            dtype=dtype,
+            attn_backend=cfg.attention_backend,
+            name="decoder",
         )
 
     # ------------------------------------------------------------------

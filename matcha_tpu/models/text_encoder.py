@@ -29,6 +29,7 @@ import numpy as np
 from flax import linen as nn
 
 from matcha_tpu.models.config import DurationPredictorConfig, EncoderConfig
+from matcha_tpu.ops.attention import masked_self_attention
 
 
 class ChannelLayerNorm(nn.Module):
@@ -124,6 +125,7 @@ class RopeSelfAttention(nn.Module):
     rope_max_len: int
     p_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
@@ -147,15 +149,24 @@ class RopeSelfAttention(nn.Module):
         q = apply_rope(q, cos, sin, rot_dim)
         k = apply_rope(k, cos, sin, rot_dim)
 
-        scale = 1.0 / math.sqrt(head_dim)
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        key_valid = mask[:, None, None, :] > 0  # (B, 1, 1, T)
-        logits = jnp.where(key_valid, logits, -jnp.inf)
-        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        weights = nn.Dropout(self.p_dropout)(weights, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        if deterministic or self.p_dropout == 0.0:
+            # fused (flash) path on TPU — no attention-prob dropout needed
+            out = masked_self_attention(q, k, v, mask, backend=self.attn_backend)
+        else:
+            # training: the reference runs SDPA with dropout_p on the
+            # attention probabilities (text_encoder.py:231-235) — keep the
+            # materializing path so dropout semantics match exactly
+            scale = 1.0 / math.sqrt(head_dim)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            key_valid = mask[:, None, None, :] > 0  # (B, 1, 1, T)
+            logits = jnp.where(key_valid, logits, -jnp.inf)
+            weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            weights = nn.Dropout(self.p_dropout)(
+                weights, deterministic=deterministic
+            )
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.channels)
         return nn.Dense(self.channels, name="out", dtype=self.dtype)(out)
 
@@ -202,6 +213,7 @@ class TransformerEncoder(nn.Module):
     p_dropout: float
     rope_max_len: int
     dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
@@ -214,6 +226,7 @@ class TransformerEncoder(nn.Module):
                 rope_max_len=self.rope_max_len,
                 p_dropout=self.p_dropout,
                 dtype=self.dtype,
+                attn_backend=self.attn_backend,
             )(x, mask, deterministic=deterministic)
             y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
             x = ChannelLayerNorm(dtype=self.dtype)(x + y)
@@ -281,6 +294,7 @@ class TextEncoder(nn.Module):
     n_vocab: int
     spk_emb_dim: int
     dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x_ids, x_mask, spk_enc, spk_dur, *, deterministic: bool = True):
@@ -332,6 +346,7 @@ class TextEncoder(nn.Module):
             rope_max_len=self.cfg.rope_max_len,
             name="encoder",
             dtype=self.dtype,
+            attn_backend=self.attn_backend,
         )(x, x_mask, deterministic=deterministic)
 
         # the mel head runs fp32: mu_x feeds the fp32 MAS/prior island

@@ -44,6 +44,14 @@ class Batch(NamedTuple):
 
 def make_train_step(cfg: MatchaConfig, tx: optax.GradientTransformation, mesh=None):
     """Build the jitted train step.  ``mesh=None`` → single-device jit."""
+    if mesh is not None and cfg.attention_backend == "auto":
+        # a Pallas flash-attention custom call inside a GSPMD-sharded jit
+        # has no partitioning rule (same constraint as the MAS kernel, which
+        # has a dedicated shard_map variant) — use the einsum SDPA, which
+        # XLA shards along the batch axis like the rest of the model
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, attention_backend="einsum")
     model = MatchaTTS(cfg)
 
     def loss_fn(params, batch: Batch, rng):

@@ -99,12 +99,17 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--attention_backend", default="auto")
     p.add_argument(
         "--components", default="align,unet_eval,ode,vocos,stage_b"
     )
     args = p.parse_args(argv)
 
-    cfg = dataclasses.replace(MatchaConfig(), compute_dtype=args.compute_dtype)
+    cfg = dataclasses.replace(
+        MatchaConfig(),
+        compute_dtype=args.compute_dtype,
+        attention_backend=args.attention_backend,
+    )
     vcfg = VocosConfig(compute_dtype=args.compute_dtype)
     params = init_params(cfg, jax.random.PRNGKey(0))
     vparams = init_vocos_params(jax.random.PRNGKey(1), vcfg)
@@ -191,6 +196,7 @@ def main(argv=None):
     out = {
         "batch": b, "tx": tx, "fine": fine, "coarse": coarse,
         "compute_dtype": args.compute_dtype,
+        "attention_backend": args.attention_backend,
         "method": f"inner-repeat k={args.k}",
     }
     for name in want:
