@@ -20,7 +20,7 @@ CPU exactly as in the reference — it is C-library, not accelerator, work.
 
 from __future__ import annotations
 
-import dataclasses
+import functools
 import time
 from dataclasses import dataclass
 from typing import Any, Sequence
@@ -143,13 +143,9 @@ class MatchaSynthesizer:
         """``mesh``: optional jax Mesh for multi-chip batch fan-out — batched
         requests are sharded over the ``data`` axis (params replicated), so
         a v5e-8 host serves 8x the batch at single-chip latency."""
-        if mesh is not None and cfg.attention_backend == "auto":
-            # Pallas flash attention has no GSPMD partitioning rule — under
-            # the fan-out mesh the einsum SDPA shards with the batch axis
-            # (same resolution make_train_step applies; ops/attention.py)
-            cfg = dataclasses.replace(cfg, attention_backend="einsum")
         self.cfg = cfg
         self.mesh = mesh
+        self.n_dev = len(mesh.devices.flatten()) if mesh is not None else 1
         # speaker-mixing blends run in host numpy — grab the tables BEFORE
         # pinning/replication (a post-hoc device_get can be pathologically
         # slow on remote transports)
@@ -183,15 +179,34 @@ class MatchaSynthesizer:
         self.mel_fine_buckets = tuple(
             fix_len_compatibility(b // 2) * 2 for b in mel_fine_buckets
         )
-        self._encode_jit = jax.jit(self._encode)
         self._vocode_jit = None
-        self._decode_jit = jax.jit(
-            self._decode, static_argnames=("y_fine_len", "n_timesteps", "solver")
-        )
-        self._fused_jit = jax.jit(
-            self._synth_fused,
-            static_argnames=("y_fine_len", "n_timesteps", "solver"),
-        )
+        if mesh is None:
+            self._encode_jit = jax.jit(self._encode)
+            self._decode_jit = jax.jit(
+                self._decode,
+                static_argnames=("y_fine_len", "n_timesteps", "solver"),
+            )
+            self._fused_jit = jax.jit(
+                self._synth_fused,
+                static_argnames=("y_fine_len", "n_timesteps", "solver"),
+            )
+        else:
+            # Under the fan-out mesh every stage runs as a shard_map over the
+            # data axis: each chip executes the plain single-device program on
+            # its local batch shard (no collectives — synthesis is independent
+            # per sample).  This is what lets the Pallas flash-attention
+            # kernel (which has no GSPMD partitioning rule) keep its long-
+            # bucket win under the mesh, exactly like the shard_map'ed Pallas
+            # MAS in training (ops/mas_pallas.py).
+            self._encode_jit = jax.jit(self._encode_sharded)
+            self._decode_jit = jax.jit(
+                self._decode_sharded,
+                static_argnames=("y_fine_len", "n_timesteps", "solver"),
+            )
+            self._fused_jit = jax.jit(
+                self._synth_fused_sharded,
+                static_argnames=("y_fine_len", "n_timesteps", "solver"),
+            )
 
     # -- stage A ------------------------------------------------------------
 
@@ -216,6 +231,7 @@ class MatchaSynthesizer:
         durations,
         x_mask,
         y_fine_lengths,
+        noise=None,
         *,
         y_fine_len: int,
         n_timesteps: int,
@@ -253,6 +269,7 @@ class MatchaSynthesizer:
             y_mask,
             n_timesteps,
             solver,
+            noise,
             method=MatchaTTS.decode,
         )
         stats = self.cfg.data_statistics
@@ -284,6 +301,7 @@ class MatchaSynthesizer:
         spk_enc,
         spk_dur,
         scale,
+        noise=None,
         *,
         y_fine_len: int,
         n_timesteps: int,
@@ -311,11 +329,104 @@ class MatchaSynthesizer:
             durations,
             x_mask,
             y_fine_lengths,
+            noise,
             y_fine_len=y_fine_len,
             n_timesteps=n_timesteps,
             solver=solver,
         )
         return mel, wav, total
+
+    # -- mesh fan-out: per-shard programs via shard_map -----------------------
+
+    def _shard_mapped(self, fn, n_replicated: int, n_batched: int):
+        """Wrap ``fn(*replicated_trees, *batch_arrays)`` in a data-axis
+        shard_map: param trees replicated, batch args split on axis 0.
+        Per-shard independence means no collectives and makes single-device
+        Pallas kernels legal inside the meshed program."""
+        from jax.sharding import PartitionSpec as P
+
+        from matcha_tpu.parallel.mesh import DATA_AXIS
+
+        return jax.shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(P(),) * n_replicated + (P(DATA_AXIS),) * n_batched,
+            out_specs=P(DATA_AXIS),
+            # pallas_call outputs carry no varying-mesh-axes annotation; the
+            # computation is per-sample so the check is unnecessary
+            check_vma=False,
+        )
+
+    def _encode_sharded(self, params, x, x_lengths, spk_enc, spk_dur, scale):
+        return self._shard_mapped(self._encode, 1, 5)(
+            params, x, x_lengths, spk_enc, spk_dur, scale
+        )
+
+    def _global_noise(self, b: int, y_fine_len: int) -> jax.Array:
+        """Seeded ODE noise for the GLOBAL padded batch.
+
+        Inside shard_map each shard would draw the local-batch PREFIX of the
+        threefry stream, so row k of every shard would repeat global row k.
+        Generating the full-batch array outside and sharding it as an input
+        keeps the meshed output bit-comparable with the single-chip program
+        (threefry fills by flat index, so rows are batch-size-invariant).
+        """
+        from matcha_tpu.models.flow_matching import DEFAULT_NOISE_SEED
+
+        return jax.random.normal(
+            jax.random.PRNGKey(DEFAULT_NOISE_SEED),
+            (b, (y_fine_len + 1) // 2, self.cfg.n_feats),
+            jnp.float32,
+        )
+
+    def _decode_sharded(
+        self,
+        params,
+        vocos_params,
+        mu_x,
+        durations,
+        x_mask,
+        y_fine_lengths,
+        *,
+        y_fine_len: int,
+        n_timesteps: int,
+        solver: str,
+    ):
+        fn = functools.partial(
+            self._decode,
+            y_fine_len=y_fine_len,
+            n_timesteps=n_timesteps,
+            solver=solver,
+        )
+        noise = self._global_noise(mu_x.shape[0], y_fine_len)
+        return self._shard_mapped(fn, 2, 5)(
+            params, vocos_params, mu_x, durations, x_mask, y_fine_lengths, noise
+        )
+
+    def _synth_fused_sharded(
+        self,
+        params,
+        vocos_params,
+        x,
+        x_lengths,
+        spk_enc,
+        spk_dur,
+        scale,
+        *,
+        y_fine_len: int,
+        n_timesteps: int,
+        solver: str,
+    ):
+        fn = functools.partial(
+            self._synth_fused,
+            y_fine_len=y_fine_len,
+            n_timesteps=n_timesteps,
+            solver=solver,
+        )
+        noise = self._global_noise(x.shape[0], y_fine_len)
+        return self._shard_mapped(fn, 2, 6)(
+            params, vocos_params, x, x_lengths, spk_enc, spk_dur, scale, noise
+        )
 
     def predict_fine_bucket(self, tx: int) -> int:
         """Mel bucket guess from the text bucket: ~8 fine frames (40 ms) per
@@ -384,24 +495,37 @@ class MatchaSynthesizer:
 
         n = len(phoneme_ids)
         tx = pick_bucket(n, self.text_buckets)
-        x = np.zeros((1, tx), np.int32)
+        # under the fan-out mesh even a single request pads to one sample per
+        # device (a 1-row shard over N chips cannot exist); pad rows carry one
+        # token so their cost is the bucket's fixed cost the mesh pays anyway
+        b_pad = self.n_dev
+        x = np.zeros((b_pad, tx), np.int32)
         x[0, :n] = phoneme_ids
-        x_lengths = jnp.asarray(np.asarray([n], np.int32))
-        spk_enc, spk_dur = self.speaker_embedding(voice_mix)
-        # (1, 1)-shaped so the b=1 program is the SAME executable as the
+        x_lengths = jnp.asarray(
+            np.asarray([n] + [1] * (b_pad - 1), np.int32)
+        )
+        if b_pad == 1:
+            spk_enc, spk_dur = self.speaker_embedding(voice_mix)
+        else:
+            e, d = self._speaker_embedding_np(voice_mix)
+            spk_enc = jnp.asarray(np.broadcast_to(e, (b_pad, e.shape[-1])))
+            spk_dur = jnp.asarray(np.broadcast_to(d, (b_pad, d.shape[-1])))
+        # (B, 1)-shaped so the b=1 program is the SAME executable as the
         # batched path's (B, 1) per-sample scale — one warmup covers both
-        scale = jnp.full((1, 1), scale_correction * length_scale, jnp.float32)
+        scale = jnp.full((b_pad, 1), scale_correction * length_scale, jnp.float32)
+
+        args = (jnp.asarray(x), x_lengths, spk_enc, spk_dur, scale)
+        if self.mesh is not None:
+            from matcha_tpu.parallel.mesh import shard_batch
+
+            args = shard_batch(self.mesh, args)
 
         if fused and not debug:
             y_fine_len = self.predict_fine_bucket(tx)
             mel, wav, total_dev = self._fused_jit(
                 self.params,
                 self.vocos_params,
-                jnp.asarray(x),
-                x_lengths,
-                spk_enc,
-                spk_dur,
-                scale,
+                *args,
                 y_fine_len=y_fine_len,
                 n_timesteps=n_timesteps,
                 solver=solver,
@@ -430,9 +554,7 @@ class MatchaSynthesizer:
             # rare overflow (speech longer than the text-predicted bucket):
             # fall through to the exact two-stage path below
 
-        mu_x, durations, x_mask = self._encode_jit(
-            self.params, jnp.asarray(x), x_lengths, spk_enc, spk_dur, scale
-        )
+        mu_x, durations, x_mask = self._encode_jit(self.params, *args)
 
         # host-side reduction: durations come back D2H once; a device-side
         # jnp.sum would be its own tiny compiled program per shape
@@ -442,7 +564,13 @@ class MatchaSynthesizer:
         # (trailing frames are truncated) rather than failing the request
         total_fine = min(total_fine, self.mel_fine_buckets[-1])
         y_fine_len = pick_bucket(total_fine, self.mel_fine_buckets)
-        y_fine_lengths = jnp.asarray(np.asarray([total_fine], np.int32))
+        y_fine_lengths = jnp.asarray(
+            np.asarray([total_fine] + [2] * (b_pad - 1), np.int32)
+        )
+        if self.mesh is not None:
+            from matcha_tpu.parallel.mesh import shard_batch
+
+            y_fine_lengths = shard_batch(self.mesh, y_fine_lengths)
 
         mel, wav, enc_mel = self._decode_jit(
             self.params,
@@ -579,13 +707,16 @@ class MatchaSynthesizer:
         totals = np.asarray(durations).sum(axis=1).astype(int)
         totals = np.clip(totals, 2, self.mel_fine_buckets[-1])
         y_fine_len = pick_bucket(int(totals.max()), self.mel_fine_buckets)
+        totals_dev = jnp.asarray(np.asarray(totals, np.int32))
+        if self.mesh is not None:
+            totals_dev = shard_batch(self.mesh, totals_dev)
         mel, wav, _ = self._decode_jit(
             self.params,
             self.vocos_params,
             mu_x,
             durations,
             x_mask,
-            jnp.asarray(np.asarray(totals, np.int32)),
+            totals_dev,
             y_fine_len=y_fine_len,
             n_timesteps=n_timesteps,
             solver=solver,
@@ -678,6 +809,10 @@ class MatchaSynthesizer:
             args = shard_batch(self.mesh, args)
         mu_x, durations, x_mask = self._encode_jit(self.params, *args)
         total = jnp.full((b,), min(max(n, 2), y_fine_len), jnp.int32)
+        if self.mesh is not None:
+            from matcha_tpu.parallel.mesh import shard_batch
+
+            total = shard_batch(self.mesh, total)
         out = self._decode_jit(
             self.params,
             self.vocos_params,

@@ -25,6 +25,10 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+# Fixed synthesis seed so repeated synthesis of the same text is identical
+# (stable MCD measurement; reference: flow_matching.py:43-44).
+DEFAULT_NOISE_SEED = 42
+
 VelocityFn = Callable[[jax.Array, jax.Array], jax.Array]  # (x, t) -> dx/dt
 # (x, mask, mu, t) -> velocity
 VelocityFn3 = Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]
@@ -140,7 +144,7 @@ def cfm_synthesise(
     *,
     solver: str = "midpoint",
     use_mu_prior: bool = True,
-    noise_seed: int = 42,
+    noise_seed: int = DEFAULT_NOISE_SEED,
     noise: jax.Array | None = None,
 ) -> jax.Array:
     """ODE synthesis from the encoder prior. (reference: flow_matching.py:26-63)

@@ -125,6 +125,39 @@ class TestFlashParityOnTPU:
             np.asarray(out_e) * m, np.asarray(out_f) * m, atol=2e-3
         )
 
+    def test_flash_inside_shard_map(self):
+        """The meshed SERVING path dispatches the flash kernel per shard via
+        shard_map (inference.py _shard_mapped) — prove that composition
+        compiles and matches einsum on hardware with a 1-device mesh."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        rng = np.random.default_rng(3)
+        b, h, t, d = 2, 5, 1024, 64
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+            for _ in range(3)
+        )
+        valid = np.ones((b, t), np.float32)
+        valid[0, t // 2:] = 0.0
+        valid = jnp.asarray(valid)
+
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+        fn = jax.jit(
+            jax.shard_map(
+                lambda *a: masked_self_attention(*a, backend="flash"),
+                mesh=mesh,
+                in_specs=(P("data"),) * 4,
+                out_specs=P("data"),
+                check_vma=False,
+            )
+        )
+        out_f = fn(q, k, v, valid)
+        out_e = masked_self_attention(q, k, v, valid, backend="einsum")
+        m = np.asarray(valid)[:, None, :, None]
+        np.testing.assert_allclose(
+            np.asarray(out_e) * m, np.asarray(out_f) * m, atol=2e-3
+        )
+
     def test_flash_gradients_match(self):
         rng = np.random.default_rng(2)
         b, h, t, d = 1, 2, 128, 64
