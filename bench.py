@@ -242,13 +242,17 @@ def device_probe(synth, point, k=4, reps=5):
     mu_x, durations, x_mask = i["mu_x"], i["durations"], i["x_mask"]
     totals, y_fine_len = i["totals"], i["y_fine_len"]
 
+    # the per-iteration scalar must consume EVERY stage output in full:
+    # summing a slice (or dropping `dur`) lets XLA dead-code-eliminate the
+    # untouched work — e.g. wav[:, 0] needs only a few mel frames through
+    # the ISTFT, so the Vocos decode would vanish from the "measurement"
     @functools.partial(jax.jit, static_argnames=("n",))
     def rep_a(params, seed, n):
         def body(_, acc):
             mu, dur, _ = synth._encode(
                 params, x, x_lengths, spk_enc + acc, spk_dur, scale
             )
-            return jnp.sum(mu[:, 0, 0]) * 1e-12
+            return (jnp.sum(mu.astype(jnp.float32)) + jnp.sum(dur)) * 1e-12
         return lax.fori_loop(0, n, body, seed)
 
     @functools.partial(jax.jit, static_argnames=("n",))
@@ -258,7 +262,7 @@ def device_probe(synth, point, k=4, reps=5):
                 params, vparams, mu_x + acc, durations, x_mask, totals,
                 y_fine_len=y_fine_len, n_timesteps=4, solver="midpoint",
             )
-            return jnp.sum(wav[:, 0]) * 1e-12
+            return jnp.sum(wav.astype(jnp.float32)) * 1e-12
         return lax.fori_loop(0, n, body, seed)
 
     def timed(fn, *args, n):

@@ -150,7 +150,7 @@ def main(argv=None):
         )
         yf_mask = sequence_mask(totals, fine).astype(jnp.float32)
         mu = mu * (yf_mask * in_range)[..., None]
-        return jnp.sum(downsample_time(mu)[:, 0, 0]) * 1e-12
+        return jnp.sum(downsample_time(mu)) * 1e-12
 
     def unet_fn(acc, params):
         out = dec.apply(
@@ -161,7 +161,7 @@ def main(argv=None):
             jnp.full((b,), 0.5, dt),
             deterministic=True,
         )
-        return jnp.sum(out[:, 0, 0]).astype(jnp.float32) * 1e-12
+        return jnp.sum(out.astype(jnp.float32)) * 1e-12
 
     def ode_fn(acc, params):
         out = model.apply(
@@ -172,18 +172,110 @@ def main(argv=None):
             "midpoint",
             method=MatchaTTS.decode,
         )
-        return jnp.sum(out[:, 0, 0]).astype(jnp.float32) * 1e-12
+        return jnp.sum(out.astype(jnp.float32)) * 1e-12
 
     def vocos_fn(acc, vparams):
         wav = voc.apply({"params": vparams}, mel + acc.astype(dt))
-        return jnp.sum(wav[:, :8]).astype(jnp.float32) * 1e-12
+        return jnp.sum(wav.astype(jnp.float32)) * 1e-12
+
+    # -- sub-U-Net probes: localize the per-eval time ------------------------
+    # One production eval runs (channels=(320,320), n_blocks=2, 2 mid):
+    #   transformer blocks: 4 @ T=coarse, 8 @ T=coarse/2
+    #   resnet blocks:      2 @ T=coarse, 4 @ T=coarse/2
+    # so unet_eval ~= 4*tblock_hi + 8*tblock_lo + 2*resnet_hi + 4*resnet_lo
+    # + up/down/head convs.
+    from matcha_tpu.models.decoder import DecoderTransformerBlock, ResnetBlock1D
+
+    ch = cfg.decoder.channels[0]
+    tblock = DecoderTransformerBlock(
+        dim=ch,
+        num_heads=cfg.decoder.num_heads,
+        head_dim=cfg.decoder.attention_head_dim,
+        dtype=dt,
+        attn_backend=args.attention_backend,
+    )
+    resblock = ResnetBlock1D(ch, dtype=dt)
+
+    def make_block_probe(block, t_len, with_temb):
+        h0 = jnp.asarray(rng.standard_normal((b, t_len, ch)), dt)
+        m0 = jnp.ones((b, t_len), jnp.float32)
+        temb = jnp.asarray(rng.standard_normal((b, ch * 4)), dt)
+        bparams = (
+            block.init(jax.random.PRNGKey(2), h0, m0, temb)["params"]
+            if with_temb
+            else block.init(jax.random.PRNGKey(2), h0, m0)["params"]
+        )
+
+        def probe(acc, bp):
+            h = h0 + acc.astype(dt)
+            out = (
+                block.apply({"params": bp}, h, m0, temb)
+                if with_temb
+                else block.apply({"params": bp}, h, m0)
+            )
+            return jnp.sum(out.astype(jnp.float32)) * 1e-12
+
+        return probe, (bparams,)
+
+    from matcha_tpu.models.decoder import SnakeBetaFFN
+    from matcha_tpu.ops.attention import masked_self_attention
+
+    ffn = SnakeBetaFFN(ch, dtype=dt)
+
+    def make_ffn_probe(t_len):
+        h0 = jnp.asarray(rng.standard_normal((b, t_len, ch)), dt)
+        fparams = ffn.init(jax.random.PRNGKey(3), h0)["params"]
+
+        def probe(acc, fp):
+            out = ffn.apply({"params": fp}, h0 + acc.astype(dt))
+            return jnp.sum(out.astype(jnp.float32)) * 1e-12
+
+        return probe, (fparams,)
+
+    def make_sin_probe(t_len):
+        """The snake activation's transcendental alone: sin over the FFN's
+        (B, T, 4*ch) inner activation."""
+        h0 = jnp.asarray(rng.standard_normal((b, t_len, ch * 4)), dt)
+
+        def probe(acc, h):
+            out = jnp.square(jnp.sin(h + acc.astype(dt)))
+            return jnp.sum(out.astype(jnp.float32)) * 1e-12
+
+        return probe, (h0,)
+
+    def make_ffn_linear_probe(t_len):
+        """The FFN's two matmuls with the snake activation skipped —
+        isolates the matmul cost from the transcendental cost."""
+        h0 = jnp.asarray(rng.standard_normal((b, t_len, ch)), dt)
+        w1 = jnp.asarray(rng.standard_normal((ch, ch * 4)) * 0.02, dt)
+        w2 = jnp.asarray(rng.standard_normal((ch * 4, ch)) * 0.02, dt)
+
+        def probe(acc, w1, w2):
+            h = (h0 + acc.astype(dt)) @ w1
+            return jnp.sum((h @ w2).astype(jnp.float32)) * 1e-12
+
+        return probe, (w1, w2)
+
+    def make_attn_probe(t_len):
+        nh, hd = cfg.decoder.num_heads, cfg.decoder.attention_head_dim
+        q0 = jnp.asarray(rng.standard_normal((b, nh, t_len, hd)), dt)
+        m0 = jnp.ones((b, t_len), jnp.float32)
+
+        def probe(acc, q):
+            out = masked_self_attention(
+                q + acc.astype(dt), q, q, m0,
+                backend=args.attention_backend,
+            )
+            return jnp.sum(out.astype(jnp.float32)) * 1e-12
+
+        return probe, (q0,)
 
     def stage_b_fn(acc, params, vparams):
         _, wav, _ = synth._decode(
             params, vparams, mu_x + acc, durations, x_mask, totals,
             y_fine_len=fine, n_timesteps=4, solver="midpoint",
         )
-        return jnp.sum(wav[:, 0]).astype(jnp.float32) * 1e-12
+        return jnp.sum(wav.astype(jnp.float32)) * 1e-12
 
     probes = {
         "align": (align_fn, (mu_x, durations, x_mask)),
@@ -191,6 +283,16 @@ def main(argv=None):
         "ode": (ode_fn, (synth.params,)),
         "vocos": (vocos_fn, (synth.vocos_params,)),
         "stage_b": (stage_b_fn, (synth.params, synth.vocos_params)),
+        "tblock_hi": make_block_probe(tblock, coarse, False),
+        "tblock_lo": make_block_probe(tblock, coarse // 2, False),
+        "resnet_hi": make_block_probe(resblock, coarse, True),
+        "resnet_lo": make_block_probe(resblock, coarse // 2, True),
+        "ffn_hi": make_ffn_probe(coarse),
+        "ffn_lo": make_ffn_probe(coarse // 2),
+        "attn_hi": make_attn_probe(coarse),
+        "attn_lo": make_attn_probe(coarse // 2),
+        "sin_hi": make_sin_probe(coarse),
+        "ffn_linear_hi": make_ffn_linear_probe(coarse),
     }
     want = [c.strip() for c in args.components.split(",") if c.strip()]
     out = {
