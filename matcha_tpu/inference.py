@@ -365,18 +365,17 @@ class MatchaSynthesizer:
     def _global_noise(self, b: int, y_fine_len: int) -> jax.Array:
         """Seeded ODE noise for the GLOBAL padded batch.
 
-        Inside shard_map each shard would draw the local-batch PREFIX of the
-        threefry stream, so row k of every shard would repeat global row k.
-        Generating the full-batch array outside and sharding it as an input
-        keeps the meshed output bit-comparable with the single-chip program
-        (threefry fills by flat index, so rows are batch-size-invariant).
+        Every row shares the single B=1 stream (seeded_synthesis_noise), so
+        the draw is invariant to batch size, row position, and mel bucket —
+        and identical whether it happens inside a shard_map shard or here.
+        Still generated outside the shard_map and passed as a sharded input
+        so the meshed program stays bit-comparable with the single-chip one
+        (and the broadcast costs nothing device-side).
         """
-        from matcha_tpu.models.flow_matching import DEFAULT_NOISE_SEED
+        from matcha_tpu.models.flow_matching import seeded_synthesis_noise
 
-        return jax.random.normal(
-            jax.random.PRNGKey(DEFAULT_NOISE_SEED),
-            (b, (y_fine_len + 1) // 2, self.cfg.n_feats),
-            jnp.float32,
+        return seeded_synthesis_noise(
+            b, (y_fine_len + 1) // 2, self.cfg.n_feats
         )
 
     def _decode_sharded(

@@ -71,18 +71,34 @@ class TimestepMLP(nn.Module):
 
 
 class Block1D(nn.Module):
-    """Masked conv3 → GroupNorm(8) → Mish. (reference: decoder.py:32-45)"""
+    """Masked conv3 → GroupNorm(8) → Mish. (reference: decoder.py:32-45)
+
+    ``masked_stats`` switches the GroupNorm statistics to VALID frames only.
+    GroupNorm reduces over the time axis, so with plain stats the valid
+    region's output depends on how much padding the bucket carries — the
+    reference never sees this at inference because it runs unpadded exact
+    lengths (B=1); masked stats at a padded bucket are numerically the
+    reference's exact-length stats, making bucketed inference invariant to
+    bucket choice and batch composition.  Training keeps plain stats: the
+    reference trains on padded batches with unmasked GroupNorm, and loss
+    parity is pinned to that behaviour.
+    """
 
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    masked_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
         m = mask[..., None].astype(self.dtype)
         h = nn.Conv(self.dim_out, (3,), padding="SAME", dtype=self.dtype)(x * m)
         # epsilon=1e-5 matches torch GroupNorm (flax defaults to 1e-6)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(h)
+        gn = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)
+        if self.masked_stats:
+            h = gn(h, mask=jnp.broadcast_to(mask[..., None] > 0, h.shape))
+        else:
+            h = gn(h)
         return mish(h) * m
 
 
@@ -95,14 +111,21 @@ class ResnetBlock1D(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    masked_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, t_emb: jax.Array) -> jax.Array:
-        h = Block1D(self.dim_out, self.groups, dtype=self.dtype, name="block1")(x, mask)
+        h = Block1D(
+            self.dim_out, self.groups, dtype=self.dtype,
+            masked_stats=self.masked_stats, name="block1",
+        )(x, mask)
         h = h + nn.Dense(self.dim_out, name="time_proj", dtype=self.dtype)(
             mish(t_emb)
         )[:, None, :]
-        h = Block1D(self.dim_out, self.groups, dtype=self.dtype, name="block2")(h, mask)
+        h = Block1D(
+            self.dim_out, self.groups, dtype=self.dtype,
+            masked_stats=self.masked_stats, name="block2",
+        )(h, mask)
         res = nn.Conv(self.dim_out, (1,), name="res_conv", dtype=self.dtype)(
             x * mask[..., None].astype(self.dtype)
         )
@@ -284,7 +307,10 @@ class Decoder(nn.Module):
     attn_backend: str = "auto"
 
     @nn.compact
-    def __call__(self, x, mask, mu, t, *, deterministic: bool = True):
+    def __call__(
+        self, x, mask, mu, t, *, deterministic: bool = True,
+        masked_norm: bool = False,
+    ):
         """
         Args:
             x: (B, T, n_feats) current ODE state (noisy mel).
@@ -326,7 +352,10 @@ class Decoder(nn.Module):
         masks = [mask]
         for i, ch in enumerate(cfg.channels):
             m = masks[-1]
-            h = ResnetBlock1D(ch, dtype=self.dtype, name=f"down{i}_resnet")(h, m, t_emb)
+            h = ResnetBlock1D(
+                ch, dtype=self.dtype, masked_stats=masked_norm,
+                name=f"down{i}_resnet",
+            )(h, m, t_emb)
             h = run_blocks(h, m, f"down{i}", ch)
             skips.append(h)
             is_last = i == len(cfg.channels) - 1
@@ -341,7 +370,10 @@ class Decoder(nn.Module):
 
         m = masks[-1]
         for i in range(cfg.num_mid_blocks):
-            h = ResnetBlock1D(cfg.channels[-1], dtype=self.dtype, name=f"mid{i}_resnet")(h, m, t_emb)
+            h = ResnetBlock1D(
+                cfg.channels[-1], dtype=self.dtype, masked_stats=masked_norm,
+                name=f"mid{i}_resnet",
+            )(h, m, t_emb)
             h = run_blocks(h, m, f"mid{i}", cfg.channels[-1])
 
         up_channels = cfg.channels[::-1] + (cfg.channels[0],)
@@ -349,7 +381,10 @@ class Decoder(nn.Module):
             out_ch = up_channels[i + 1]
             m = masks.pop()
             h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = ResnetBlock1D(out_ch, dtype=self.dtype, name=f"up{i}_resnet")(h, m, t_emb)
+            h = ResnetBlock1D(
+                out_ch, dtype=self.dtype, masked_stats=masked_norm,
+                name=f"up{i}_resnet",
+            )(h, m, t_emb)
             h = run_blocks(h, m, f"up{i}", out_ch)
             is_last = i == len(up_channels) - 2
             if not is_last:
@@ -360,7 +395,10 @@ class Decoder(nn.Module):
                     name=f"up{i}_conv",
                 )(h * m[..., None].astype(self.dtype))
 
-        h = Block1D(up_channels[-1], dtype=self.dtype, name="final_block")(h, mask)
+        h = Block1D(
+            up_channels[-1], dtype=self.dtype, masked_stats=masked_norm,
+            name="final_block",
+        )(h, mask)
         # final projection in fp32: the velocity output feeds fp32 ODE math
         out = nn.Conv(self.out_channels, (1,), name="final_proj")(
             h.astype(jnp.float32) * mask[..., None]

@@ -136,6 +136,28 @@ def cfm_loss(
     return jnp.sum(sq) / (jnp.sum(m) * x1.shape[-1])
 
 
+def seeded_synthesis_noise(
+    b: int, t: int, c: int, dtype=jnp.float32, seed: int = DEFAULT_NOISE_SEED
+) -> jax.Array:
+    """(B, T, C) ODE noise: ONE (T, C) stream shared by every batch row.
+
+    A flat threefry draw over (B, T, C) makes row k's values depend on the
+    array SHAPE (the stream offset is k*T*C), so the same utterance got
+    different noise depending on its position in a batcher group, the group
+    size, and the mel bucket (the fused path predicts the bucket from text
+    length; the two-stage path derives it from durations) — SERVE_FUSED vs
+    two-stage could return audibly different audio for rows k>0.  Sharing
+    row 0's stream across the batch makes every request's noise exactly the
+    B=1 draw (value at (t, c) has flat index t*C+c, invariant to both B and
+    T), i.e. synthesis is deterministic per utterance no matter how requests
+    are batched or bucketed — the property the fixed seed exists for
+    (reference pins its seed for stable MCD; rows are independent through
+    the ODE, so sharing the initial condition couples nothing).
+    """
+    row = jax.random.normal(jax.random.PRNGKey(seed), (t, c), dtype)
+    return jnp.broadcast_to(row[None], (b, t, c))
+
+
 def cfm_synthesise(
     estimator: VelocityFn3,
     mu: jax.Array,
@@ -154,9 +176,8 @@ def cfm_synthesise(
     explicit ``noise`` array overrides the seeded draw (parity-test hook).
     """
     if noise is None:
-        noise = jax.random.normal(
-            jax.random.PRNGKey(noise_seed), mu.shape, dtype=mu.dtype
-        )
+        b, t, c = mu.shape
+        noise = seeded_synthesis_noise(b, t, c, mu.dtype, seed=noise_seed)
     z = mu + noise if use_mu_prior else noise
     z = z * mask[..., None]
     t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1, dtype=mu.dtype)

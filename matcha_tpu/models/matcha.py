@@ -232,11 +232,23 @@ class MatchaTTS(nn.Module):
         n_timesteps: int,
         solver: str | None = None,
         noise: jax.Array | None = None,
+        masked_norm: bool = True,
     ):
-        """Prior → mel via the CFM ODE.  Second stage of synthesis."""
+        """Prior → mel via the CFM ODE.  Second stage of synthesis.
+
+        ``masked_norm=True`` (default) computes the U-Net's GroupNorm
+        statistics over valid frames only, which reproduces the reference's
+        unpadded exact-length inference (matcha/models/matcha_tts.py
+        synthesise runs B=1 with no padding) at our padded buckets — the
+        output becomes invariant to bucket choice and batch composition.
+        Training keeps unmasked stats to match the reference's padded
+        training batches (see Block1D).
+        """
 
         def estimator(xt, mask, mu, t):
-            return self.decoder(xt, mask, mu, t, deterministic=True)
+            return self.decoder(
+                xt, mask, mu, t, deterministic=True, masked_norm=masked_norm
+            )
 
         return cfm_synthesise(
             estimator,

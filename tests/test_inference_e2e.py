@@ -106,6 +106,41 @@ class TestSynthesiseIds:
             assert len(a.wav) == len(b.wav)
             np.testing.assert_allclose(a.wav, b.wav, atol=1e-4)
 
+    def test_fused_batch_matches_across_bucket_mismatch(self, synth, monkeypatch):
+        """The hard case: the fused path's text-predicted mel bucket DIFFERS
+        from the two-stage path's duration-derived bucket.  The ODE noise is
+        one shared per-row stream whose (t, c) value is invariant to the
+        bucket length (seeded_synthesis_noise), so rows k>0 must still match
+        exactly — this used to diverge when noise was one flat threefry draw
+        over the whole (B, T, C) buffer."""
+        rng = np.random.default_rng(7)
+        id_lists = [list(rng.integers(0, 600, n)) for n in (8, 12, 5)]
+        two = synth.synthesise_batch(id_lists, speakers=[0, 1, 2], n_timesteps=2)
+        # force the fused program onto the LARGEST bucket (two-stage derives
+        # 64 from the ~1-frame/token durations of random weights)
+        monkeypatch.setattr(synth, "predict_fine_bucket", lambda tx: 256)
+        one = synth.synthesise_batch(
+            id_lists, speakers=[0, 1, 2], n_timesteps=2, fused=True
+        )
+        for a, b in zip(one, two):
+            assert len(a.wav) == len(b.wav)
+            np.testing.assert_allclose(a.wav, b.wav, atol=1e-4)
+
+    def test_batch_position_does_not_change_audio(self, synth):
+        """Serving determinism: an utterance's audio must not depend on which
+        batcher-group row it lands in — every row shares the B=1 noise
+        stream, so solo synthesis and row-k batched synthesis agree on the
+        valid region."""
+        rng = np.random.default_rng(8)
+        ids = list(rng.integers(0, 600, 9))
+        others = [list(rng.integers(0, 600, n)) for n in (7, 11)]
+        solo = synth.synthesise_ids(ids, speaker=1, n_timesteps=2)
+        batched = synth.synthesise_batch(
+            [others[0], others[1], ids], speakers=[0, 2, 1], n_timesteps=2
+        )[2]
+        assert len(solo.wav) == len(batched.wav)
+        np.testing.assert_allclose(solo.wav, batched.wav, atol=1e-4)
+
     def test_duration_floor_one_frame(self, synth):
         # random weights predict exp(0)-2 < 0 per token, so every duration
         # clips to the 1-frame floor regardless of scale — the contract is

@@ -552,6 +552,56 @@ class TestStyleEncoderParity:
         )
 
 
+def test_decode_padded_bucket_matches_reference_exact_length(pair):
+    """Bucketed serving vs the reference's exact-length inference, DIRECTLY.
+
+    The reference synthesises unpadded (B=1, exact Ty); this framework decodes
+    at padded mel buckets.  GroupNorm reduces over time, so plain statistics
+    would make the valid region depend on the pad amount — masked_norm=True
+    (the decode default) computes the statistics over valid frames only, which
+    must reproduce the reference's exact-length numbers at ANY bucket.  Pad
+    the injected noise with huge garbage past Ty to prove nothing leaks from
+    padding (not NaN: masking works by multiplication and 0*NaN is NaN).
+    """
+    ref = load_reference()
+    rmu = ref["model_utils"]
+    rng = np.random.default_rng(11)
+    ty = 24
+    c = SMALL["n_feats"]
+    mu = rng.standard_normal((1, c, ty)).astype(np.float32)
+    noise = rng.standard_normal((1, c, ty)).astype(np.float32)
+
+    m = pair.torch_model
+    with torch.no_grad():
+        m.decoder.solver = "midpoint"
+        out = m.decoder.solve(
+            torch.from_numpy(mu + noise),
+            t_span=torch.linspace(0, 1, 5),
+            mu=torch.from_numpy(mu),
+            mask=torch.ones((1, 1, ty)),
+        )
+        mel_t = t2n(out)[0].T  # (Ty, C)
+
+    pad_ty = ty + 40  # a strictly larger bucket than the utterance needs
+    mu_j = np.zeros((1, pad_ty, c), np.float32)
+    mu_j[:, :ty] = mu.transpose(0, 2, 1)
+    noise_j = np.full((1, pad_ty, c), 1e6, np.float32)
+    noise_j[:, :ty] = noise.transpose(0, 2, 1)
+    mask_j = sequence_mask(jnp.asarray([ty]), pad_ty).astype(jnp.float32)
+    mel_j = pair.jax_model.apply(
+        {"params": pair.params},
+        jnp.asarray(mu_j),
+        mask_j,
+        4,
+        "midpoint",
+        jnp.asarray(noise_j),
+        method=JaxMatchaTTS.decode,
+    )
+    mel_j = np.asarray(mel_j)[0]
+    np.testing.assert_allclose(mel_j[:ty], mel_t, atol=2e-4, rtol=1e-3)
+    assert mcd_db(mel_j[:ty], mel_t) < 0.1
+
+
 @pytest.mark.slow
 def test_synthesise_parity_production_size(pair):
     """Same end-to-end check at full production widths (192/1152 encoder,
