@@ -47,6 +47,11 @@ class DecoderConfig:
     num_heads: int = 5
     act_fn: str = "snakebeta"
     block_type: str = "transformer"  # "transformer" | "conformer"
+    # Rematerialize each U-Net block in the backward pass (jax.checkpoint):
+    # activation memory drops from all-blocks-live to one-block-live at the
+    # cost of one extra forward — the TPU lever for large frame budgets
+    # (HBM-bound training).  Numerics are identical (tests pin grads).
+    remat: bool = False
 
     @property
     def num_downsamples(self) -> int:

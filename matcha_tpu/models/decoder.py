@@ -172,7 +172,9 @@ class DecoderTransformerBlock(nn.Module):
     attn_backend: str = "auto"
 
     @nn.compact
-    def __call__(self, x, mask, *, deterministic: bool = True):
+    def __call__(self, x, mask, deterministic: bool = True):
+        # `deterministic` is positional-or-keyword so nn.remat can declare it
+        # static (static_argnums is positional-only); it stays a Python bool.
         b, t, _ = x.shape
         inner = self.num_heads * self.head_dim
 
@@ -221,7 +223,8 @@ class ConformerBlock(nn.Module):
     attn_backend: str = "auto"
 
     @nn.compact
-    def __call__(self, x, mask, *, deterministic: bool = True):
+    def __call__(self, x, mask, deterministic: bool = True):
+        # positional-or-keyword for nn.remat's static_argnums (see above)
         m = mask[..., None].astype(self.dtype)
 
         def ffn(h, name):
@@ -331,11 +334,20 @@ class Decoder(nn.Module):
 
         h = jnp.concatenate([x, mu], axis=-1).astype(self.dtype)
 
+        # cfg.remat: jax.checkpoint each block so the backward pass holds one
+        # block's activations at a time instead of the whole U-Net's (lifted
+        # transform — parameter tree and numerics are unchanged; dropout rngs
+        # replay identically on recompute).  `deterministic` must be static:
+        # flax Dropout branches on it in Python.
+        resnet_cls = nn.remat(ResnetBlock1D) if cfg.remat else ResnetBlock1D
+        block_cls = (
+            ConformerBlock if cfg.block_type == "conformer"
+            else DecoderTransformerBlock
+        )
+        if cfg.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(3,))
+
         def run_blocks(h, m, stage, n):
-            block_cls = (
-                ConformerBlock if cfg.block_type == "conformer"
-                else DecoderTransformerBlock
-            )
             for bi in range(cfg.n_blocks):
                 h = block_cls(
                     dim=n,
@@ -345,14 +357,14 @@ class Decoder(nn.Module):
                     dtype=self.dtype,
                     attn_backend=self.attn_backend,
                     name=f"{stage}_tblock{bi}",
-                )(h, m, deterministic=deterministic)
+                )(h, m, deterministic)
             return h
 
         skips = []
         masks = [mask]
         for i, ch in enumerate(cfg.channels):
             m = masks[-1]
-            h = ResnetBlock1D(
+            h = resnet_cls(
                 ch, dtype=self.dtype, masked_stats=masked_norm,
                 name=f"down{i}_resnet",
             )(h, m, t_emb)
@@ -370,7 +382,7 @@ class Decoder(nn.Module):
 
         m = masks[-1]
         for i in range(cfg.num_mid_blocks):
-            h = ResnetBlock1D(
+            h = resnet_cls(
                 cfg.channels[-1], dtype=self.dtype, masked_stats=masked_norm,
                 name=f"mid{i}_resnet",
             )(h, m, t_emb)
@@ -381,7 +393,7 @@ class Decoder(nn.Module):
             out_ch = up_channels[i + 1]
             m = masks.pop()
             h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = ResnetBlock1D(
+            h = resnet_cls(
                 out_ch, dtype=self.dtype, masked_stats=masked_norm,
                 name=f"up{i}_resnet",
             )(h, m, t_emb)

@@ -73,6 +73,55 @@ class TestTrainStepSingleDevice:
         assert np.isfinite(np.asarray(ev["loss"]))
 
 
+class TestRematDecoder:
+    def test_remat_grads_match_exactly(self):
+        """decoder.remat=True (jax.checkpoint per U-Net block) must be a pure
+        memory/FLOPs trade: identical param tree, identical loss, identical
+        gradients — including through dropout (rngs replay on recompute) and
+        the MAS stop-gradient islands."""
+        import dataclasses
+
+        from matcha_tpu.models.matcha import MatchaTTS, init_params
+
+        cfg_r = dataclasses.replace(
+            CFG, decoder=dataclasses.replace(CFG.decoder, remat=True)
+        )
+        params = init_params(CFG, jax.random.PRNGKey(0))
+        params_r = init_params(cfg_r, jax.random.PRNGKey(0))
+        assert jax.tree_util.tree_structure(params) == (
+            jax.tree_util.tree_structure(params_r)
+        )
+
+        batch = make_batch(3)
+        rng = jax.random.PRNGKey(7)
+
+        def loss_of(cfg):
+            model = MatchaTTS(cfg)
+
+            def f(p):
+                out = model.apply(
+                    {"params": p},
+                    batch.x, batch.x_lengths, batch.y, batch.y_lengths,
+                    batch.y_fine, batch.y_fine_lengths, batch.spks, rng,
+                    method=MatchaTTS.compute_losses,
+                    deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(11)},
+                )
+                return out["loss"]
+
+            return f
+
+        l0, g0 = jax.value_and_grad(loss_of(CFG))(params)
+        l1, g1 = jax.value_and_grad(loss_of(cfg_r))(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+            )
+
+
 class TestTrainStepMesh:
     @pytest.mark.slow
     def test_eight_device_dp(self):

@@ -57,6 +57,18 @@ def main(argv=None):
         "step K times in one dispatch (extra ~Kx compile)",
     )
     parser.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize each decoder U-Net block in the backward pass "
+        "(decoder.remat=True): trades one extra forward for holding a "
+        "single block's activations instead of the whole U-Net's",
+    )
+    parser.add_argument(
+        "--memory_only", action="store_true",
+        help="AOT lower+compile the step and print the backend's "
+        "memory_analysis() (HBM temp/argument/output bytes) WITHOUT "
+        "executing — cheap way to compare e.g. --remat on/off",
+    )
+    parser.add_argument(
         "--mesh", type=int, default=0, metavar="N",
         help="run the step under an N-device data-parallel mesh (N=1 on "
         "the single-chip dev tunnel exercises the mesh code path, incl. "
@@ -69,6 +81,10 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         mas_backend=args.mas_backend,
     )
+    if args.remat:
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder, remat=True)
+        )
     mesh = None
     if args.mesh:
         from matcha_tpu.parallel.mesh import make_mesh
@@ -104,6 +120,42 @@ def main(argv=None):
         spks=jnp.asarray(rng.integers(0, cfg.n_spks, (b,)), jnp.int32),
     )
     key = jax.random.PRNGKey(7)
+
+    if args.memory_only:
+        # AOT: compile but never execute — memory_analysis() reports the
+        # backend's HBM plan (temp = live activations for the backward pass,
+        # the number remat is supposed to shrink).
+        t0 = time.time()
+        compiled = train_step.lower(state, batch, key).compile()
+        mb = 1024 * 1024
+        try:
+            ma = compiled.memory_analysis()
+            fields = {
+                name.replace("_size_in_bytes", "_mb"): round(
+                    getattr(ma, name) / mb, 1
+                )
+                for name in dir(ma)
+                if name.endswith("_size_in_bytes")
+                and isinstance(getattr(ma, name, None), int)
+            }
+        except Exception as exc:  # PJRT plugins may not implement it
+            fields = {"error": f"{type(exc).__name__}: {exc}"}
+        print(
+            json.dumps(
+                {
+                    "memory_analysis": fields,
+                    "compile_s": round(time.time() - t0, 1),
+                    "remat": args.remat,
+                    "batch": b,
+                    "tx": t_x,
+                    "coarse_frames": ty,
+                    "compute_dtype": args.compute_dtype,
+                    "mas_backend": cfg.mas_backend,
+                    "backend": jax.default_backend(),
+                }
+            )
+        )
+        return
 
     t0 = time.time()
     state, m = train_step(state, batch, key)  # compile + 1 step
