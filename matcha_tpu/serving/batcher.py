@@ -38,12 +38,30 @@ class RequestBatcher:
         max_batch: int = 8,
         max_wait_ms: float = 15.0,
         fused: bool = False,
+        pipeline: int = 1,
     ):
         self.synth = synthesizer
         self.fused = fused  # single-dispatch groups (see SERVE_FUSED)
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.q: queue.Queue[_Pending] = queue.Queue()
+        # pipeline > 1: up to `pipeline` groups in flight at once, so group
+        # k+1's device programs dispatch while group k's result streams back
+        # D2H — overlapping transport with compute (jax dispatch is async
+        # and jitted calls are thread-safe; the device serializes programs).
+        # Worth it exactly when D2H/transport is a large share of group wall
+        # time (measured 61 % through the dev tunnel, performance.md).
+        # pipeline == 1 keeps today's strictly-serial behavior.
+        self.pipeline = max(1, int(pipeline))
+        self._pool = None
+        self._inflight = None
+        if self.pipeline > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.pipeline, thread_name_prefix="batcher-run"
+            )
+            self._inflight = threading.BoundedSemaphore(self.pipeline)
         # watchdog: wall-clock of the currently-executing group (0 = idle).
         # A backend stuck inside a dispatch cannot be interrupted from
         # Python; what CAN be done is fail fast + flip /health so an
@@ -54,7 +72,11 @@ class RequestBatcher:
         # or tune via BATCHER_WEDGE_S.
         import os as _os
 
-        self._run_started = 0.0
+        # start time per in-flight group (keyed by a monotonic token; with
+        # pipeline=1 it holds at most one entry — same semantics as before)
+        self._active: dict[int, float] = {}
+        self._active_lock = threading.Lock()
+        self._run_token = 0
         self.wedge_threshold_s = float(_os.environ.get("BATCHER_WEDGE_S", "300"))
         # requests whose (steps, solver) didn't match the group being
         # gathered; they seed the NEXT group (only touched by the loop thread)
@@ -85,12 +107,15 @@ class RequestBatcher:
 
     @property
     def wedged(self) -> bool:
-        started = self._run_started
-        return bool(started) and _time.monotonic() - started > self.wedge_threshold_s
+        with self._active_lock:
+            oldest = min(self._active.values(), default=0.0)
+        return bool(oldest) and _time.monotonic() - oldest > self.wedge_threshold_s
 
     def shutdown(self):
         self._stop.set()
         self.thread.join(timeout=2)
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
 
     # ------------------------------------------------------------------
 
@@ -131,10 +156,25 @@ class RequestBatcher:
                     # gathered group past its deadline by a full synthesis) —
                     # park it to seed the next group
                     self._deferred.append(nxt)
+            if self._pool is None:
+                self._run(group)
+            else:
+                # bounded pipeline: block gathering only when `pipeline`
+                # groups are already in flight (backpressure, not a queue)
+                self._inflight.acquire()
+                self._pool.submit(self._run_and_release, group)
+
+    def _run_and_release(self, group: list[_Pending]):
+        try:
             self._run(group)
+        finally:
+            self._inflight.release()
 
     def _run(self, group: list[_Pending]):
-        self._run_started = _time.monotonic()
+        with self._active_lock:
+            self._run_token += 1
+            token = self._run_token
+            self._active[token] = _time.monotonic()
         try:
             results = self.synth.synthesise_batch(
                 [g.ids for g in group],
@@ -151,4 +191,5 @@ class RequestBatcher:
                 if not g.future.done():
                     g.future.set_exception(exc)
         finally:
-            self._run_started = 0.0
+            with self._active_lock:
+                self._active.pop(token, None)

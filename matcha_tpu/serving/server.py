@@ -86,6 +86,10 @@ class TTSService:
                 max_batch=int(os.environ.get("BATCHER_MAX_BATCH", "8")),
                 max_wait_ms=float(os.environ.get("BATCHER_MAX_WAIT_MS", "15")),
                 fused=self.fused,
+                # SERVE_PIPELINE=N (default 1 = serial): keep up to N groups
+                # in flight so the next group's device compute overlaps the
+                # previous group's D2H transport (see batcher.py)
+                pipeline=int(os.environ.get("SERVE_PIPELINE", "1")),
             )
 
     def warmup(self):

@@ -148,3 +148,90 @@ class TestWedgeWatchdog:
             block.set()
             fut.result(timeout=5)
             b.shutdown()
+
+
+class TestPipeline:
+    def test_pipelined_groups_overlap_and_all_resolve(self):
+        """pipeline=2: while one group executes, the loop must gather AND
+        dispatch the next — two incompatible groups' synth calls overlap in
+        time, and every future still gets its own result."""
+        fake = FakeSynth(call_duration=0.3)
+        b = RequestBatcher(fake, max_batch=4, max_wait_ms=5.0, pipeline=2)
+        try:
+            f1 = b.submit([1], speaker=0, solver="midpoint")
+            time.sleep(0.03)  # group 1 is now executing (0.3 s)
+            f2 = b.submit([2], speaker=0, solver="euler")
+            f1.result(timeout=5), f2.result(timeout=5)
+            assert len(fake.calls) == 2
+            first, second = sorted(fake.calls, key=lambda c: c["t"])
+            # the second group dispatched INSIDE the first's 0.3 s execution
+            # window — serial behavior would start it only afterwards
+            assert second["t"] - first["t"] < 0.25
+        finally:
+            b.shutdown()
+
+    def test_pipeline_backpressure_bounds_inflight(self):
+        """With pipeline=2, a third group must wait for a slot: at no point
+        are more than two synth calls concurrently active."""
+        active = []
+        lock = threading.Lock()
+        peak = [0]
+
+        class TrackingSynth:
+            def synthesise_batch(self, id_lists, **kw):
+                with lock:
+                    active.append(1)
+                    peak[0] = max(peak[0], len(active))
+                time.sleep(0.15)
+                with lock:
+                    active.pop()
+                return [
+                    SynthesisResult(wav=np.zeros(10, np.float32), rtf=0.1)
+                    for _ in id_lists
+                ]
+
+        b = RequestBatcher(TrackingSynth(), max_batch=1, max_wait_ms=1.0,
+                           pipeline=2)
+        try:
+            futs = [b.submit([k], speaker=0) for k in range(5)]
+            for f in futs:
+                f.result(timeout=5)
+            assert peak[0] == 2  # overlapped, but never beyond the bound
+        finally:
+            b.shutdown()
+
+    def test_wedge_watchdog_sees_oldest_inflight_group(self):
+        """With two groups in flight, `wedged` must key off the OLDEST run:
+        a fresh fast group finishing must not reset the stuck group's age."""
+        block = threading.Event()
+
+        class StickFirst:
+            def __init__(self):
+                self.n = 0
+                self.lock = threading.Lock()
+
+            def synthesise_batch(self, id_lists, **kw):
+                with self.lock:
+                    self.n += 1
+                    mine = self.n
+                if mine == 1:
+                    block.wait(5.0)  # first group wedges
+                return [
+                    SynthesisResult(wav=np.zeros(10, np.float32), rtf=0.1)
+                    for _ in id_lists
+                ]
+
+        b = RequestBatcher(StickFirst(), max_batch=1, max_wait_ms=1.0,
+                           pipeline=2)
+        b.wedge_threshold_s = 0.2
+        try:
+            f1 = b.submit([1], speaker=0)
+            time.sleep(0.05)
+            f2 = b.submit([2], speaker=0)  # fast group: completes at once
+            f2.result(timeout=5)
+            time.sleep(0.3)  # first group now older than the threshold
+            assert b.wedged
+        finally:
+            block.set()
+            f1.result(timeout=5)
+            b.shutdown()

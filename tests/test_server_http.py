@@ -162,3 +162,64 @@ class TestMeshServer:
             t.join(timeout=600)
         assert len(results) == 5
         assert all(st == 200 and n > 0 for st, n in results.values())
+
+
+@pytest.fixture(scope="module")
+def pipelined_server():
+    """Server with SERVE_PIPELINE=2: up to two batcher groups in flight."""
+    import os
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    vocos_params = init_vocos_params(jax.random.PRNGKey(1), VCFG)
+    synth = MatchaSynthesizer(
+        CFG, params, vocos_params, VCFG,
+        text_buckets=(16, 32), mel_fine_buckets=(64, 128, 256),
+    )
+    old = os.environ.get("SERVE_PIPELINE")
+    os.environ["SERVE_PIPELINE"] = "2"
+    try:
+        service = TTSService(synth, use_batcher=True)
+    finally:
+        if old is None:
+            os.environ.pop("SERVE_PIPELINE", None)
+        else:
+            os.environ["SERVE_PIPELINE"] = old
+    service.ready = True
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{port}", service
+    httpd.shutdown()
+    if service.batcher:
+        service.batcher.shutdown()
+
+
+class TestPipelinedServer:
+    def test_mixed_solver_requests_complete_under_pipeline(self, pipelined_server):
+        """SERVE_PIPELINE=2 wires through to the batcher, and concurrent
+        incompatible-key requests (which force separate groups, exercising
+        the overlapped path) all come back 200 with audio."""
+        base, service = pipelined_server
+        assert service.batcher.pipeline == 2
+        rng = np.random.default_rng(5)
+        results = {}
+
+        def one(k, solver):
+            ids = [int(v) for v in rng.integers(0, 600, 8 + k)]
+            status, _, data = post(
+                f"{base}/v1/audio/speech",
+                {"phoneme_ids": ids, "voice": str(k % 4),
+                 "response_format": "pcm", "solver": solver, "steps": 2},
+            )
+            results[k] = (status, len(data))
+
+        threads = [
+            threading.Thread(target=one, args=(k, s))
+            for k, s in enumerate(["midpoint", "euler", "midpoint", "euler"])
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert len(results) == 4
+        assert all(st == 200 and n > 0 for st, n in results.values())
