@@ -231,10 +231,11 @@ def device_probe(synth, point, k=4, reps=5):
 
         device_ms ~= (wall_K - wall_1) / (K - 1)
         fixed_ms  ~= wall_1 - device_ms
-    """
-    import functools
 
-    from jax import lax
+    (method + honesty rules: matcha_tpu/utils/probe.py, shared with
+    tools/profile_stage_b.py)
+    """
+    from matcha_tpu.utils.probe import inner_repeat
 
     i = point["_inputs"]
     x, x_lengths = i["x"], i["x_lengths"]
@@ -246,44 +247,27 @@ def device_probe(synth, point, k=4, reps=5):
     # summing a slice (or dropping `dur`) lets XLA dead-code-eliminate the
     # untouched work — e.g. wav[:, 0] needs only a few mel frames through
     # the ISTFT, so the Vocos decode would vanish from the "measurement"
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def rep_a(params, seed, n):
-        def body(_, acc):
-            mu, dur, _ = synth._encode(
-                params, x, x_lengths, spk_enc + acc, spk_dur, scale
-            )
-            return (jnp.sum(mu.astype(jnp.float32)) + jnp.sum(dur)) * 1e-12
-        return lax.fori_loop(0, n, body, seed)
+    def body_a(acc, params):
+        mu, dur, _ = synth._encode(
+            params, x, x_lengths, spk_enc + acc, spk_dur, scale
+        )
+        return (jnp.sum(mu.astype(jnp.float32)) + jnp.sum(dur)) * 1e-12
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def rep_b(params, vparams, seed, n):
-        def body(_, acc):
-            _, wav, _ = synth._decode(
-                params, vparams, mu_x + acc, durations, x_mask, totals,
-                y_fine_len=y_fine_len, n_timesteps=4, solver="midpoint",
-            )
-            return jnp.sum(wav.astype(jnp.float32)) * 1e-12
-        return lax.fori_loop(0, n, body, seed)
-
-    def timed(fn, *args, n):
-        fn(*args, n=n).block_until_ready()  # warmup/compile
-        ts = []
-        for r in range(reps):
-            t0 = time.perf_counter()
-            fn(*args, n=n).block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    def body_b(acc, params, vparams):
+        _, wav, _ = synth._decode(
+            params, vparams, mu_x + acc, durations, x_mask, totals,
+            y_fine_len=y_fine_len, n_timesteps=4, solver="midpoint",
+        )
+        return jnp.sum(wav.astype(jnp.float32)) * 1e-12
 
     out = {}
     for name, fn, args in (
-        ("encode", rep_a, (synth.params,)),
-        ("decode", rep_b, (synth.params, synth.vocos_params)),
+        ("encode", body_a, (synth.params,)),
+        ("decode", body_b, (synth.params, synth.vocos_params)),
     ):
-        w1 = timed(fn, *args, jnp.float32(0.0), n=1)
-        wk = timed(fn, *args, jnp.float32(0.0), n=k)
-        dev = (wk - w1) / (k - 1)
-        out[f"device_{name}_ms"] = round(dev * 1e3, 3)
-        out[f"fixed_overhead_{name}_ms"] = round((w1 - dev) * 1e3, 3)
+        r = inner_repeat(fn, *args, k=k, reps=reps)
+        out[f"device_{name}_ms"] = r["device_ms"]
+        out[f"fixed_overhead_{name}_ms"] = r["fixed_ms"]
     out["method"] = f"inner-repeat k={k} (device_ms = (wall_k-wall_1)/(k-1))"
     return out
 

@@ -784,6 +784,25 @@ class MatchaSynthesizer:
                     pairs.append((tx, yf))
         return pairs
 
+    def _synthetic_stage_a_args(self, tx: int, b: int):
+        """The exact (ids, lengths, spk_enc, spk_dur, scale) signature the
+        serving path dispatches — one definition so every warmup variant
+        compiles the executables serving will actually hit.  Warm inputs
+        must carry the SAME shardings as batched serving (mesh), or every
+        "warmed" program is a cache miss there."""
+        args = (
+            jnp.zeros((b, tx), jnp.int32),
+            jnp.full((b,), max(tx // 2, 2), jnp.int32),
+            jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
+            jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
+            jnp.ones((b, 1), jnp.float32),
+        )
+        if self.mesh is not None:
+            from matcha_tpu.parallel.mesh import shard_batch
+
+            args = shard_batch(self.mesh, args)
+        return args
+
     def _warm_pair(
         self, tx: int, y_fine_len: int, n_timesteps: int, solver: str, b: int = 1
     ):
@@ -793,19 +812,7 @@ class MatchaSynthesizer:
         synthesise_ids cannot (its mel bucket depends on predicted
         durations)."""
         n = max(tx // 2, 2)
-        args = (
-            jnp.zeros((b, tx), jnp.int32),
-            jnp.full((b,), n, jnp.int32),
-            jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
-            jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
-            jnp.ones((b, 1), jnp.float32),
-        )
-        if self.mesh is not None:
-            # warm inputs must carry the SAME shardings the batched serving
-            # path uses, or every "warmed" program is a cache miss there
-            from matcha_tpu.parallel.mesh import shard_batch
-
-            args = shard_batch(self.mesh, args)
+        args = self._synthetic_stage_a_args(tx, b)
         mu_x, durations, x_mask = self._encode_jit(self.params, *args)
         total = jnp.full((b,), min(max(n, 2), y_fine_len), jnp.int32)
         if self.mesh is not None:
@@ -870,17 +877,7 @@ class MatchaSynthesizer:
         if fused:
             for b in batch_sizes:
                 for tx in self.text_buckets:
-                    args = (
-                        jnp.zeros((b, tx), jnp.int32),
-                        jnp.full((b,), max(tx // 2, 2), jnp.int32),
-                        jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
-                        jnp.zeros((b, self.cfg.spk_emb_dim), jnp.float32),
-                        jnp.ones((b, 1), jnp.float32),
-                    )
-                    if self.mesh is not None:
-                        from matcha_tpu.parallel.mesh import shard_batch
-
-                        args = shard_batch(self.mesh, args)
+                    args = self._synthetic_stage_a_args(tx, b)
                     out = self._fused_jit(
                         self.params,
                         self.vocos_params,

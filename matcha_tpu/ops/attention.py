@@ -86,7 +86,7 @@ def _block(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _block_sizes(t: int, b: int):
+def _block_sizes(t: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
     bq = bk = _block(t)
@@ -127,7 +127,7 @@ def masked_self_attention(
             q, k, v,
             segment_ids=SegmentIds(q=q_seg, kv=kv_seg),
             sm_scale=scale,
-            block_sizes=_block_sizes(t, b),
+            block_sizes=_block_sizes(t),
         )
         return out.astype(v.dtype)
 

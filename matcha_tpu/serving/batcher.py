@@ -160,9 +160,32 @@ class RequestBatcher:
                 self._run(group)
             else:
                 # bounded pipeline: block gathering only when `pipeline`
-                # groups are already in flight (backpressure, not a queue)
-                self._inflight.acquire()
-                self._pool.submit(self._run_and_release, group)
+                # groups are already in flight (backpressure, not a queue).
+                # Poll the semaphore so shutdown() can interrupt a loop
+                # parked behind wedged in-flight groups; a group held at
+                # shutdown must fail its futures, never strand them.
+                acquired = False
+                while not self._stop.is_set():
+                    if self._inflight.acquire(timeout=0.1):
+                        acquired = True
+                        break
+                if acquired:
+                    try:
+                        self._pool.submit(self._run_and_release, group)
+                        continue
+                    except RuntimeError as exc:  # pool already shut down
+                        self._inflight.release()
+                        self._fail_group(group, exc)
+                        continue
+                self._fail_group(
+                    group, RuntimeError("batcher shut down before dispatch")
+                )
+
+    @staticmethod
+    def _fail_group(group: list[_Pending], exc: Exception):
+        for g in group:
+            if not g.future.done():
+                g.future.set_exception(exc)
 
     def _run_and_release(self, group: list[_Pending]):
         try:

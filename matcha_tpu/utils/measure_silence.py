@@ -21,7 +21,7 @@ from pathlib import Path
 import numpy as np
 
 from matcha_tpu.utils.audio_io import read_wav
-from matcha_tpu.utils.silence import WINDOW_MS, silence_bounds
+from matcha_tpu.utils.silence import WINDOW_MS, bounds_from_rms, rms_windows
 
 
 def measure_silence_ms(
@@ -35,8 +35,9 @@ def measure_silence_ms(
     Both thresholds share one window grid anchored at sample 0 (reference:
     measure_silence.py:66-120 computes RMS once and compares twice).
     """
-    lead_e, trail_e = silence_bounds(wav, sample_rate, effective_db)
-    lead_a, trail_a = silence_bounds(wav, sample_rate, absolute_db)
+    rms = rms_windows(wav, sample_rate)
+    lead_e, trail_e = bounds_from_rms(rms, effective_db)
+    lead_a, trail_a = bounds_from_rms(rms, absolute_db)
     return (
         lead_e * WINDOW_MS,
         lead_a * WINDOW_MS,

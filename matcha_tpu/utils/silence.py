@@ -33,7 +33,14 @@ def silence_bounds(
     wav: np.ndarray, sample_rate: int, threshold_db: float = -60.0
 ) -> tuple[int, int]:
     """(leading_windows, trailing_windows) below threshold."""
-    rms = rms_windows(wav, sample_rate)
+    return bounds_from_rms(rms_windows(wav, sample_rate), threshold_db)
+
+
+def bounds_from_rms(
+    rms: np.ndarray, threshold_db: float
+) -> tuple[int, int]:
+    """silence_bounds on a precomputed RMS grid — lets multi-threshold
+    callers (measure_silence's -60/-90 dual report) window the wav once."""
     thresh = 10.0 ** (threshold_db / 20.0)
     silent = rms < thresh
     loud = np.flatnonzero(~silent)

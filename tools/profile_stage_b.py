@@ -30,7 +30,6 @@ the tunnel (minutes); the persistent cache makes reruns fast.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 import time
@@ -41,7 +40,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -50,36 +48,7 @@ except Exception:
     pass
 
 
-def inner_repeat(fn, *args, k=4, reps=5):
-    """Median-timed (wall_1, wall_k, device_ms, fixed_ms) for ``fn``.
-
-    ``fn(acc, *args)`` must consume a scalar ``acc`` (perturbing its inputs
-    so XLA cannot CSE iterations) and return a scalar.
-    """
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def rep(seed, n, *a):
-        def body(_, acc):
-            return fn(acc, *a)
-
-        return lax.fori_loop(0, n, body, seed)
-
-    def timed(n):
-        rep(jnp.float32(0.0), n, *args).block_until_ready()  # warmup/compile
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            rep(jnp.float32(0.0), n, *args).block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    w1 = timed(1)
-    wk = timed(k)
-    dev = (wk - w1) / (k - 1)
-    return {
-        "device_ms": round(dev * 1e3, 3),
-        "fixed_ms": round((w1 - dev) * 1e3, 3),
-    }
+from matcha_tpu.utils.probe import inner_repeat  # noqa: E402  (shared probe)
 
 
 def main(argv=None):
