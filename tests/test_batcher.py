@@ -270,36 +270,3 @@ class TestPipeline:
             f1.result(timeout=5)
             f2.result(timeout=5)
 
-
-def test_pipelined_batcher_output_matches_direct_synthesis():
-    """pipeline=2 must not change WHAT is produced, only WHEN: audio for a
-    request through the pipelined batcher equals the direct serial
-    synthesise_ids result (deterministic per-utterance noise stream)."""
-    import jax
-
-    from matcha_tpu.inference import MatchaSynthesizer
-    from matcha_tpu.models.config import tiny_config
-    from matcha_tpu.models.matcha import init_params
-    from matcha_tpu.vocoder.vocos import VocosConfig, init_vocos_params
-
-    cfg = tiny_config()
-    vcfg = VocosConfig(
-        input_channels=cfg.n_feats, dim=32, intermediate_dim=64, num_layers=1
-    )
-    synth = MatchaSynthesizer(
-        cfg,
-        init_params(cfg, jax.random.PRNGKey(0)),
-        init_vocos_params(jax.random.PRNGKey(1), vcfg),
-        vcfg,
-        text_buckets=(16,),
-        mel_fine_buckets=(64, 128),
-    )
-    ids = [int(v) for v in np.random.default_rng(9).integers(0, 600, 10)]
-    direct = synth.synthesise_ids(ids, speaker=1, n_timesteps=2)
-
-    b = RequestBatcher(synth, max_batch=2, max_wait_ms=5.0, pipeline=2)
-    try:
-        got = b.submit(ids, speaker=1, n_timesteps=2).result(timeout=300)
-    finally:
-        b.shutdown()
-    np.testing.assert_array_equal(got.wav, direct.wav)

@@ -343,3 +343,22 @@ class TestGatherAlignmentEquivalence:
         np.testing.assert_array_equal(gather, dense)
         # and the dense path really does zero the clamped frame
         assert np.all(dense[0, 1] == 0.0)
+
+
+def test_pipelined_batcher_output_matches_direct_synthesis(synth):
+    """pipeline=2 must not change WHAT is produced, only WHEN: audio for a
+    request through the pipelined batcher equals the direct serial
+    synthesise_ids result (deterministic per-utterance noise stream).
+    Lives here rather than test_batcher.py so the smoke tier stays
+    compile-free."""
+    from matcha_tpu.serving.batcher import RequestBatcher
+
+    ids = [int(v) for v in np.random.default_rng(9).integers(0, 600, 10)]
+    direct = synth.synthesise_ids(ids, speaker=1, n_timesteps=2)
+
+    b = RequestBatcher(synth, max_batch=2, max_wait_ms=5.0, pipeline=2)
+    try:
+        got = b.submit(ids, speaker=1, n_timesteps=2).result(timeout=300)
+    finally:
+        b.shutdown()
+    np.testing.assert_array_equal(got.wav, direct.wav)
