@@ -323,49 +323,12 @@ def device_breakdown(point, iters=5, logdir="/tmp/bench_trace"):
         return {"error": f"{type(exc).__name__}: {exc}"}
 
 
-def _wait_for_backend():
-    """Ride out a transiently-unavailable TPU backend before benching.
-
-    A wedged chip grant (documentation/dev-notes.md) clears server-side on
-    its own; a failed PJRT init is cached for the life of the process, so
-    retry via fresh CHILD probes and only proceed in-process once one
-    succeeds.  Budgeted by BENCH_WAIT_BACKEND_S (default 900 s; 0 disables).
-    On budget exhaustion just proceed — the normal flow then raises the
-    real error for the caller's log.
-    """
-    import subprocess
-
-    budget = float(os.environ.get("BENCH_WAIT_BACKEND_S", "900"))
-    t0 = time.time()
-    while budget > 0:
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True,
-                timeout=180,
-            )
-            if probe.returncode == 0:
-                return
-            err = probe.stderr.decode(errors="replace").strip().splitlines()
-            err = err[-1] if err else "?"
-        except subprocess.TimeoutExpired:
-            err = "init probe timed out (backend hang)"
-        waited = time.time() - t0
-        if waited > budget:
-            print(
-                f"# backend still unavailable after {waited:.0f}s; "
-                "proceeding (will fail with the real error)",
-                file=sys.stderr,
-            )
-            return
-        print(f"# backend unavailable ({err}); retrying in 60s", file=sys.stderr)
-        time.sleep(60)
-
-
 def main():
     import dataclasses
 
-    _wait_for_backend()
+    from matcha_tpu.utils.backend_wait import wait_for_backend
+
+    wait_for_backend()
 
     from matcha_tpu.inference import MatchaSynthesizer
     from matcha_tpu.models.config import MatchaConfig
