@@ -160,7 +160,10 @@ def maximum_path_indices_auto(
                 "mas_backend='pallas_shard_map' needs set_mas_shard_mesh() "
                 "(the mesh Trainer registers it automatically)"
             )
-        n_dev = _SHARD_MESH.devices.size
+        # the kernel shards over the batch axis only, so divisibility is
+        # against the data-axis size (== device count on a 1-D mesh; under
+        # a 2-D (data, model) TP mesh the model axis replicates the DP)
+        n_dev = _SHARD_MESH.shape[_SHARD_AXIS]
         if value.shape[0] % n_dev != 0:
             # init-time tracing uses tiny dummy batches; real mesh batches
             # are always device-multiples (sampler guarantees it)

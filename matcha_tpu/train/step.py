@@ -42,8 +42,20 @@ class Batch(NamedTuple):
     spks: jax.Array          # (B,)
 
 
-def make_train_step(cfg: MatchaConfig, tx: optax.GradientTransformation, mesh=None):
-    """Build the jitted train step.  ``mesh=None`` → single-device jit."""
+def make_train_step(
+    cfg: MatchaConfig,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    state_sharding: TrainState | None = None,
+):
+    """Build the jitted train step.  ``mesh=None`` → single-device jit.
+
+    ``state_sharding``: optional NamedSharding pytree for the TrainState
+    (build with ``parallel.sharding.state_shardings``) — used for
+    tensor-parallel runs on a 2-D (data, model) mesh, where parameters are
+    sharded instead of replicated and GSPMD inserts the per-pair
+    all-reduces (see parallel/sharding.py).  Default: replicated params.
+    """
     if mesh is not None and cfg.attention_backend == "auto":
         # a Pallas flash-attention custom call inside a GSPMD-sharded jit
         # has no partitioning rule (same constraint as the MAS kernel, which
@@ -98,7 +110,11 @@ def make_train_step(cfg: MatchaConfig, tx: optax.GradientTransformation, mesh=No
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
-    state_sh = TrainState(params=repl, opt_state=repl, step=repl)
+    state_sh = (
+        state_sharding
+        if state_sharding is not None
+        else TrainState(params=repl, opt_state=repl, step=repl)
+    )
     batch_sh = Batch(*([data] * len(Batch._fields)))
     train_jit = jax.jit(
         train_step,
@@ -108,7 +124,7 @@ def make_train_step(cfg: MatchaConfig, tx: optax.GradientTransformation, mesh=No
     )
     eval_jit = jax.jit(
         eval_step,
-        in_shardings=(repl, batch_sh, repl),
+        in_shardings=(state_sh.params, batch_sh, repl),
         out_shardings=repl,
     )
     return train_jit, eval_jit

@@ -48,6 +48,10 @@ class TrainerConfig:
     log_every_n_steps: int = 10
     seed: int = 1234
     use_mesh: bool = True
+    # model-axis size of a 2-D (data, model) mesh; 1 = pure DP.  TP is for
+    # width-scaled variants — at reference widths DP is the right choice
+    # (see parallel/sharding.py).
+    tensor_parallel: int = 1
 
 
 class MetricLogger:
@@ -99,7 +103,14 @@ class Trainer:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         except Exception:
             pass
-        self.mesh = make_mesh() if trainer_cfg.use_mesh else None
+        if not trainer_cfg.use_mesh:
+            self.mesh = None
+        elif trainer_cfg.tensor_parallel > 1:
+            from matcha_tpu.parallel.sharding import make_mesh_2d
+
+            self.mesh = make_mesh_2d(tp=trainer_cfg.tensor_parallel)
+        else:
+            self.mesh = make_mesh()
         if self.mesh is not None and model_cfg.mas_backend == "auto":
             # a bare pallas_call inside the GSPMD-sharded step has no batch
             # partitioning rule, so meshes route MAS through shard_map: the
@@ -122,8 +133,11 @@ class Trainer:
             from matcha_tpu.ops.mas import set_mas_shard_mesh
 
             set_mas_shard_mesh(self.mesh)
-        # DP requires every batch divisible by the device count
-        batch_multiple = len(self.mesh.devices.flatten()) if self.mesh else 1
+        # DP requires every batch divisible by the data-axis size (the
+        # model axis of a TP mesh replicates the batch, not splits it)
+        from matcha_tpu.parallel.mesh import DATA_AXIS as _DATA
+
+        batch_multiple = self.mesh.shape[_DATA] if self.mesh else 1
 
         lengths = [train_dataset.mel_length(i) for i in range(len(train_dataset))]
         self.sampler = BucketedBatchSampler(
@@ -149,8 +163,29 @@ class Trainer:
             self.valid_sampler = None
         self.trainable_mask = trainable_mask
         self.tx = build_optimizer(opt_cfg, trainable_mask=trainable_mask)
+        self.param_specs = None
+        state_sharding = None
+        if self.mesh is not None and trainer_cfg.tensor_parallel > 1:
+            # derive per-leaf TP shardings from the ABSTRACT state (shapes
+            # only — no arrays initialized twice)
+            from matcha_tpu.parallel.sharding import (
+                state_shardings,
+                tp_param_specs,
+            )
+
+            state_shape = jax.eval_shape(
+                lambda: init_train_state(
+                    model_cfg, self.tx, jax.random.PRNGKey(0)
+                )
+            )
+            self.param_specs = tp_param_specs(
+                state_shape.params, trainer_cfg.tensor_parallel
+            )
+            state_sharding = state_shardings(
+                self.mesh, self.param_specs, state_shape
+            )
         self.train_step, self.eval_step = make_train_step(
-            model_cfg, self.tx, mesh=self.mesh
+            model_cfg, self.tx, mesh=self.mesh, state_sharding=state_sharding
         )
         self.logger = MetricLogger(Path(trainer_cfg.output_dir))
         self.out_dir = Path(trainer_cfg.output_dir)
@@ -257,7 +292,12 @@ class Trainer:
                 step=jax.numpy.asarray(tree["step"], jax.numpy.int32),
             )
         if self.mesh is not None:
-            state = replicate(self.mesh, state)
+            if self.param_specs is not None:
+                from matcha_tpu.parallel.sharding import shard_pytree
+
+                state = shard_pytree(self.mesh, self.param_specs, state)
+            else:
+                state = replicate(self.mesh, state)
         return state
 
     def _put(self, batch):
