@@ -112,6 +112,34 @@ class TestShardMapPallas:
         )
         np.testing.assert_array_equal(got, ref)
 
+    def test_sharded_matches_scan_on_2d_tp_mesh(self):
+        """Same kernel under a 2-D (data, model) tensor-parallel mesh: the
+        model axis is unmentioned in the specs (replicated), so every
+        model-rank computes its data shard identically — this is the mesh
+        the trainer registers when tensor_parallel>1."""
+        from matcha_tpu.ops.mas_pallas import maximum_path_indices_pallas_sharded
+        from matcha_tpu.parallel.mesh import shard_batch
+        from matcha_tpu.parallel.sharding import make_mesh_2d
+
+        mesh = make_mesh_2d(jax.devices()[:8], dp=4, tp=2)
+        rng = np.random.default_rng(3)
+        b, t_x, t_y = 8, 9, 25  # 2 samples per data-axis rank
+        v = rng.standard_normal((b, t_x, t_y)).astype(np.float32)
+        xl = rng.integers(2, t_x + 1, size=b).astype(np.int32)
+        yl = np.array([rng.integers(x, t_y + 1) for x in xl], np.int32)
+        ref = np.asarray(
+            maximum_path_indices(
+                jnp.asarray(v), jnp.asarray(xl), jnp.asarray(yl)
+            )
+        )
+        v_s, xl_s, yl_s = shard_batch(mesh, (v, xl, yl))
+        got = np.asarray(
+            maximum_path_indices_pallas_sharded(
+                v_s, xl_s, yl_s, mesh, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
     @pytest.mark.skipif(
         jax.default_backend() != "tpu", reason="needs real TPU (Mosaic)"
     )

@@ -189,6 +189,43 @@ class TestTPStep:
                 np.asarray(a), np.asarray(jax.device_get(b)), atol=2e-5
             ), path
 
+    def test_tp_step_with_shard_map_mas(self):
+        """TP (2-D mesh) train step with mas_backend='pallas_shard_map' —
+        the backend a real TPU mesh trainer selects by default — matches
+        the single-device scan-MAS loss.  The kernel runs per data-axis
+        shard inside shard_map (interpret on CPU); the model axis is
+        replicated for MAS."""
+        from matcha_tpu.ops import mas as mas_mod
+        from matcha_tpu.ops.mas import set_mas_shard_mesh
+
+        cfg = dataclasses.replace(
+            tiny_config(), mas_backend="pallas_shard_map"
+        )
+        tx_opt = build_optimizer(OptimizerConfig(lr=1e-4))
+        mesh_tp = make_mesh_2d(jax.devices()[:8], dp=4, tp=2)
+        prev = mas_mod._SHARD_MESH, mas_mod._SHARD_AXIS
+        set_mas_shard_mesh(mesh_tp)  # before init: init traces the losses
+        try:
+            state = init_train_state(cfg, tx_opt, jax.random.PRNGKey(0))
+            batch = _tiny_batch(cfg)
+            specs = tp_param_specs(state.params, tp=2)
+            sh = state_shardings(mesh_tp, specs, state)
+            with mesh_tp:
+                state = shard_pytree(mesh_tp, specs, state)
+                step, _ = make_train_step(
+                    cfg, tx_opt, mesh=mesh_tp, state_sharding=sh
+                )
+                _, m_tp = step(
+                    state, shard_batch(mesh_tp, batch), jax.random.PRNGKey(1)
+                )
+        finally:
+            set_mas_shard_mesh(prev[0], prev[1])
+        _, m_single = self._run(None, 0)
+        assert abs(
+            float(np.asarray(m_tp["loss"]))
+            - float(np.asarray(m_single["loss"]))
+        ) < 1e-3
+
     def test_trainer_wires_tensor_parallel(self, tmp_path):
         """Trainer(tensor_parallel=2) builds the 2-D mesh, shards the
         state, and completes a real epoch end-to-end."""
