@@ -74,3 +74,55 @@ def test_measure_fused_fields(synth):
     assert point["batch"] == 1
     assert point["total_ms"] > 0 and point["rtf"] > 0
     assert point["y_fine_len"] in s.mel_fine_buckets
+
+
+class TestWaitForBackend:
+    """Hermetic coverage of the bench/entry backend-wait retry loop."""
+
+    def _fake_run(self, results):
+        """subprocess.run stub popping canned (returncode, stderr) pairs."""
+        import subprocess
+
+        calls = []
+
+        def run(cmd, capture_output=True, timeout=None):
+            calls.append(cmd)
+            rc, err = results.pop(0)
+            if rc is None:
+                raise subprocess.TimeoutExpired(cmd, timeout)
+            return subprocess.CompletedProcess(cmd, rc, stdout=b"", stderr=err)
+
+        return run, calls
+
+    def test_returns_once_probe_succeeds(self, monkeypatch):
+        from matcha_tpu.utils import backend_wait
+
+        run, calls = self._fake_run([(1, b"UNAVAILABLE: grant wedged"), (0, b"")])
+        monkeypatch.setattr(backend_wait.subprocess, "run", run)
+        monkeypatch.setattr(backend_wait.time, "sleep", lambda s: None)
+        monkeypatch.setenv("BENCH_WAIT_BACKEND_S", "900")
+        backend_wait.wait_for_backend()
+        assert len(calls) == 2
+
+    def test_budget_exhaustion_returns_instead_of_raising(self, monkeypatch):
+        from matcha_tpu.utils import backend_wait
+
+        # every probe fails (incl. a hang); a fake clock burns the budget
+        run, calls = self._fake_run([(1, b"err"), (None, None), (1, b"err")])
+        clock = iter([0.0, 1.0, 50.0, 200.0])
+        monkeypatch.setattr(backend_wait.subprocess, "run", run)
+        monkeypatch.setattr(backend_wait.time, "sleep", lambda s: None)
+        monkeypatch.setattr(backend_wait.time, "time", lambda: next(clock))
+        monkeypatch.setenv("BENCH_WAIT_BACKEND_S", "100")
+        backend_wait.wait_for_backend()  # must return, not raise
+        assert len(calls) >= 2
+
+    def test_zero_budget_disables_probing(self, monkeypatch):
+        from matcha_tpu.utils import backend_wait
+
+        def boom(*a, **k):  # pragma: no cover - must never run
+            raise AssertionError("probe ran despite 0 budget")
+
+        monkeypatch.setattr(backend_wait.subprocess, "run", boom)
+        monkeypatch.setenv("BENCH_WAIT_BACKEND_S", "0")
+        backend_wait.wait_for_backend()
