@@ -887,6 +887,17 @@ class MatchaSynthesizer:
                         solver=solver,
                     )
                     jax.block_until_ready(out)
+        # Warm the D2H path too: the FIRST device→host pull of a process can
+        # be pathologically slow on remote transports (measured through the
+        # dev tunnel: 2 min bare, 9 min after the ~120 MB param upload — the
+        # relay syncs state lazily on first pull).  Every request performs
+        # D2H (durations, waveform), so pay that one-time cost HERE, before
+        # /health flips ready, never on request #1.
+        probe = self._encode_jit(
+            self.params,
+            *self._synthetic_stage_a_args(self.text_buckets[0], batch_sizes[0]),
+        )
+        np.asarray(probe[1])
 
 
 def trim_trailing_silence(audio: np.ndarray, silence_threshold_db: float = -60.0) -> np.ndarray:

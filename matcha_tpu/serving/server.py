@@ -5,8 +5,14 @@ Endpoint surface mirrors the reference FastAPI server
 
   POST /v1/audio/speech   (+ aliases /audio/speech, /v1/tts, /tts)
       {"input": str, "voice": "2" | "2(70)+6(30)", "response_format":
-       "mp3"|"wav"|"pcm", "speed": float, "steps": int, "solver": str}
+       "mp3"|"wav"|"pcm", "speed": float, "steps": int, "solver": str,
+       "stream": bool}
   GET  /health            503 until the model is warm, then 200
+
+``"stream": true`` (beyond the reference) returns a chunked response:
+the input is split into sentence segments that micro-batch together and
+each segment's audio streams out as it completes (pcm or wav formats;
+text cap STREAM_MAX_TEXT_LENGTH, default 5000 chars).
 
 Config via env vars: CHECKPOINT_PATH, VOCODER_PATH, MAX_TEXT_LENGTH (1000),
 PORT.  Differences from the reference: concurrent requests are micro-batched
@@ -109,18 +115,36 @@ class TTSService:
         )
         self.ready = True
 
-    def speak(self, body: dict) -> tuple[bytes, str]:
+    @staticmethod
+    def _parse_common(body: dict, max_text: int = None) -> dict:
+        """Validate/normalize the request fields shared by speak paths."""
         text = body.get("input", "")
         ids = body.get("phoneme_ids")  # pretokenized path: skips eSpeak
         if not text and not ids:
             raise ValueError("empty input")
-        if text and len(text) > MAX_TEXT_LENGTH:
-            raise ValueError(f"input exceeds {MAX_TEXT_LENGTH} characters")
-        voice_mix = parse_voice(body.get("voice", "0"))
+        limit = MAX_TEXT_LENGTH if max_text is None else max_text
+        if text and len(text) > limit:
+            raise ValueError(f"input exceeds {limit} characters")
+        if ids is not None:
+            ids = [int(i) for i in ids]
+            if not all(0 <= i < 600 for i in ids):
+                raise ValueError("phoneme_ids out of range")
         speed = float(body.get("speed", 1.0))
-        length_scale = float(np.clip(1.0 / max(speed, 1e-3), 0.1, 2.0))
-        steps = int(body.get("steps", 4))
-        solver = body.get("solver", "midpoint")
+        return {
+            "text": text,
+            "ids": ids,
+            "voice_mix": parse_voice(body.get("voice", "0")),
+            "length_scale": float(np.clip(1.0 / max(speed, 1e-3), 0.1, 2.0)),
+            "steps": int(body.get("steps", 4)),
+            "solver": body.get("solver", "midpoint"),
+        }
+
+    def speak(self, body: dict) -> tuple[bytes, str]:
+        req = self._parse_common(body)
+        text, ids = req["text"], req["ids"]
+        voice_mix = req["voice_mix"]
+        length_scale = req["length_scale"]
+        steps, solver = req["steps"], req["solver"]
         fmt = body.get("response_format", "mp3")
 
         if ids is None:
@@ -134,10 +158,6 @@ class TTSService:
             _, ids = multilingual_phonemizer(
                 emphasize_intonation_marks(text), language
             )
-        else:
-            ids = [int(i) for i in ids]
-            if not all(0 <= i < 600 for i in ids):
-                raise ValueError("phoneme_ids out of range")
 
         t0 = time.perf_counter()
         if self.batcher is not None:
@@ -174,6 +194,124 @@ class TTSService:
         from matcha_tpu.utils.mp3_converter import waveform_to_mp3
 
         return waveform_to_mp3(result.wav), "audio/mpeg"
+
+    def speak_stream(self, body: dict):
+        """``"stream": true`` — segmented synthesis, chunked audio.
+
+        Returns ``(chunk_iterator, content_type)``.  The input is split
+        into sentence-aligned segments (serving/streaming.py) that are
+        submitted to the micro-batcher together — they share padded TPU
+        programs, so total device work matches one big request — and each
+        segment's PCM is yielded in order as soon as it is ready:
+        time-to-first-audio is O(first segment), not O(text).
+
+        Streamed formats: ``pcm`` (raw 16-bit LE) and ``wav`` (RIFF header
+        with streaming 0xFFFFFFFF sizes, then the same PCM).  All request
+        validation happens HERE, before the first chunk, so callers can
+        still map ValueError to a 400; mid-stream failures surface as a
+        truncated body (the HTTP status is already committed).
+
+        Streaming raises the text cap to STREAM_MAX_TEXT_LENGTH (default
+        5000) — long-form input is the point of the mode.
+        """
+        max_text = int(os.environ.get("STREAM_MAX_TEXT_LENGTH", "5000"))
+        req = self._parse_common(body, max_text=max_text)
+        voice_mix = req["voice_mix"]
+        length_scale = req["length_scale"]
+        steps, solver = req["steps"], req["solver"]
+        fmt = body.get("response_format", "pcm")
+        if fmt not in ("pcm", "wav"):
+            raise ValueError(
+                f"response_format {fmt!r} is not streamable (pcm or wav)"
+            )
+
+        from matcha_tpu.serving.streaming import (
+            split_ids,
+            split_text,
+            wav_stream_header,
+        )
+
+        # segment size knobs: larger = fewer/bigger chunks (better RTF),
+        # smaller = lower time-to-first-audio.  Clamped so no segment can
+        # exceed the synthesizer's largest text bucket (split_ids yields up
+        # to 2*target+1 tokens): an oversize segment would otherwise raise
+        # MID-stream, after the 200 is committed, truncating the body.
+        largest = self.synth.text_buckets[-1]
+        target_tokens = int(os.environ.get("STREAM_SEGMENT_TOKENS", "120"))
+        target_tokens = min(target_tokens, max(1, (largest - 1) // 2))
+        target_chars = int(os.environ.get("STREAM_SEGMENT_CHARS", "240"))
+        if req["ids"] is not None:
+            segments = split_ids(req["ids"], target=target_tokens)
+        else:
+            from matcha_tpu.inference import voice_by_id
+            from matcha_tpu.text.phonemizers import (
+                emphasize_intonation_marks,
+                multilingual_phonemizer,
+            )
+
+            language = voice_by_id(voice_mix[0][0])["lang"]
+            segments = []
+            for seg in split_text(req["text"], max_chars=target_chars):
+                ids = multilingual_phonemizer(
+                    emphasize_intonation_marks(seg), language
+                )[1]
+                # char-based splitting has no token bound (each voiced
+                # phoneme expands to a pre/P/post triple): re-split any
+                # phonemized segment that would overflow the bucket ladder
+                if len(ids) > largest:
+                    segments.extend(split_ids(ids, target=target_tokens))
+                else:
+                    segments.append(ids)
+        if not segments:
+            raise ValueError("empty input")
+
+        def pcm(wav: np.ndarray) -> bytes:
+            return (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+
+        def chunks():
+            t0 = time.perf_counter()
+            if fmt == "wav":
+                yield wav_stream_header()
+            if self.batcher is not None:
+                # submit every segment up front: they micro-batch together
+                futures = [
+                    self.batcher.submit(
+                        seg,
+                        length_scale=length_scale,
+                        n_timesteps=steps,
+                        solver=solver,
+                        voice_mix=voice_mix,
+                    )
+                    for seg in segments
+                ]
+                results = (f.result(timeout=300) for f in futures)
+            else:
+                results = (
+                    self.synth.synthesise_ids(
+                        seg,
+                        voice_mix=voice_mix,
+                        n_timesteps=steps,
+                        solver=solver,
+                        length_scale=length_scale,
+                        fused=self.fused,
+                    )
+                    for seg in segments
+                )
+            total_audio = 0.0
+            first_chunk_ms = None
+            for r in results:
+                if first_chunk_ms is None:
+                    first_chunk_ms = (time.perf_counter() - t0) * 1000
+                total_audio += len(r.wav) / SAMPLE_RATE
+                yield pcm(r.wav)
+            elapsed = time.perf_counter() - t0
+            print(
+                f"stream: {len(segments)} segments, first chunk "
+                f"{first_chunk_ms:.0f}ms, {elapsed*1000:.0f}ms total for "
+                f"{total_audio:.2f}s (RTF {elapsed/max(total_audio,1e-9):.3f})"
+            )
+
+        return chunks(), ("audio/wav" if fmt == "wav" else "audio/pcm")
 
 
 SPEECH_PATHS = {"/v1/audio/speech", "/audio/speech", "/v1/tts", "/tts"}
@@ -213,12 +351,42 @@ def make_handler(service: TTSService):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
+                if body.get("stream"):
+                    # validation happens before the first chunk, so errors
+                    # here still map to a clean 400 below
+                    chunks, ctype = service.speak_stream(body)
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    try:
+                        for chunk in chunks:
+                            if not chunk:
+                                continue
+                            self.wfile.write(b"%X\r\n" % len(chunk))
+                            self.wfile.write(chunk)
+                            self.wfile.write(b"\r\n")
+                        self.wfile.write(b"0\r\n\r\n")
+                    except Exception as exc:
+                        # status already committed: a mid-stream failure
+                        # surfaces to the client as a truncated body
+                        print(f"stream aborted: {exc}")
+                    return
                 audio, ctype = service.speak(body)
                 self._send(200, audio, ctype)
             except ValueError as exc:
                 self._send(400, json.dumps({"error": str(exc)}).encode())
             except Exception as exc:  # pragma: no cover
-                self._send(500, json.dumps({"error": str(exc)}).encode())
+                # log server-side BEFORE answering: the client may already
+                # have timed out, and a BrokenPipe on the reply must not
+                # swallow the actual failure
+                import traceback
+
+                traceback.print_exc()
+                try:
+                    self._send(500, json.dumps({"error": str(exc)}).encode())
+                except OSError:
+                    pass
 
     return Handler
 

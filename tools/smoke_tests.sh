@@ -20,4 +20,5 @@ PALLAS_AXON_POOL_IPS= exec python -m pytest -q -m "not slow" \
     tests/test_native_loader.py \
     tests/test_mcd_fixtures.py \
     tests/test_corpus_tools.py \
+    tests/test_streaming.py \
     "$@"
