@@ -92,10 +92,14 @@ class TTSService:
                 max_batch=int(os.environ.get("BATCHER_MAX_BATCH", "8")),
                 max_wait_ms=float(os.environ.get("BATCHER_MAX_WAIT_MS", "15")),
                 fused=self.fused,
-                # SERVE_PIPELINE=N (default 1 = serial): keep up to N groups
-                # in flight so the next group's device compute overlaps the
-                # previous group's D2H transport (see batcher.py)
-                pipeline=int(os.environ.get("SERVE_PIPELINE", "1")),
+                # SERVE_PIPELINE=N: keep up to N groups in flight so the
+                # next group's device compute overlaps the previous group's
+                # D2H transport (see batcher.py).  Default 4 from the live
+                # A/B on v5e: vs serial groups it measured 118 vs 61 req/s
+                # at 50 users with p95 236 vs 858 ms, and strictly lower
+                # latency at every load (documentation/performance.md).
+                # Set 1 for strictly serial dispatch.
+                pipeline=int(os.environ.get("SERVE_PIPELINE", "4")),
             )
 
     def warmup(self):
