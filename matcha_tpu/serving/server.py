@@ -264,10 +264,28 @@ class TTSService:
                 # phonemized segment that would overflow the bucket ladder
                 if len(ids) > largest:
                     segments.extend(split_ids(ids, target=target_tokens))
-                else:
+                elif ids:
+                    # a symbol-only segment can phonemize to NOTHING — an
+                    # empty utterance must never be submitted mid-stream
                     segments.append(ids)
         if not segments:
             raise ValueError("empty input")
+
+        # submit BEFORE the caller commits the 200: a submission-time error
+        # (e.g. the batcher wedge fail-fast) maps to a clean pre-commit 5xx
+        # instead of an empty 200 body — and device work starts earlier
+        futures = None
+        if self.batcher is not None:
+            futures = [
+                self.batcher.submit(
+                    seg,
+                    length_scale=length_scale,
+                    n_timesteps=steps,
+                    solver=solver,
+                    voice_mix=voice_mix,
+                )
+                for seg in segments
+            ]
 
         def pcm(wav: np.ndarray) -> bytes:
             return (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
@@ -276,18 +294,7 @@ class TTSService:
             t0 = time.perf_counter()
             if fmt == "wav":
                 yield wav_stream_header()
-            if self.batcher is not None:
-                # submit every segment up front: they micro-batch together
-                futures = [
-                    self.batcher.submit(
-                        seg,
-                        length_scale=length_scale,
-                        n_timesteps=steps,
-                        solver=solver,
-                        voice_mix=voice_mix,
-                    )
-                    for seg in segments
-                ]
+            if futures is not None:
                 results = (f.result(timeout=300) for f in futures)
             else:
                 results = (
@@ -323,6 +330,14 @@ SPEECH_PATHS = {"/v1/audio/speech", "/audio/speech", "/v1/tts", "/tts"}
 
 def make_handler(service: TTSService):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer framing is HTTP/1.1-only; the stdlib default of
+        # HTTP/1.0 makes strict intermediaries (nginx with the default
+        # proxy_http_version 1.0) deliver the chunk-size bytes as body.
+        # Safe to declare 1.1 here: _send always sets Content-Length and
+        # the stream path writes a proper 0-chunk terminator, so keep-alive
+        # framing is always well-defined.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quieter default logging
             pass
 
@@ -373,7 +388,10 @@ def make_handler(service: TTSService):
                         self.wfile.write(b"0\r\n\r\n")
                     except Exception as exc:
                         # status already committed: a mid-stream failure
-                        # surfaces to the client as a truncated body
+                        # surfaces to the client as a truncated body; the
+                        # (keep-alive) connection carries no terminator so
+                        # it must not be reused for another request
+                        self.close_connection = True
                         print(f"stream aborted: {exc}")
                     return
                 audio, ctype = service.speak(body)

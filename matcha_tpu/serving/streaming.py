@@ -27,8 +27,10 @@ from matcha_tpu.text.symbols import SPACE_ID
 
 SAMPLE_RATE = 24000
 
-# one sentence = non-terminator run + its terminators + trailing whitespace
-_SENT_RE = re.compile(r"[^.!?…]+[.!?…]*\s*", re.S)
+# one sentence = optional leading terminator/space run (an unattached
+# "..." folds into the sentence that follows it, as a pause) + the
+# non-terminator body + its terminators + trailing whitespace
+_SENT_RE = re.compile(r"[.!?…\s]*[^.!?…]+[.!?…]*\s*", re.S)
 
 
 def split_text(text: str, max_chars: int = 240) -> list[str]:
@@ -39,6 +41,10 @@ def split_text(text: str, max_chars: int = 240) -> list[str]:
     one "word" itself exceeds the budget).
     """
     sentences = [m.group(0) for m in _SENT_RE.finditer(text)]
+    if not sentences and text.strip():
+        # terminator-only input has no sentence body; pass it through whole
+        # (the phonemizer decides whether it yields anything speakable)
+        sentences = [text]
     packed: list[str] = []
     cur = ""
     for s in sentences:

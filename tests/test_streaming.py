@@ -52,6 +52,19 @@ class TestSplitText:
         assert split_text("") == []
         assert split_text("   ") == []
 
+    def test_leading_terminators_fold_into_next_sentence(self):
+        # an unattached "..." is a pause cue: it must stay in the stream
+        # attached to the sentence that follows, not be silently dropped
+        segs = split_text("...Hello there. Bye now.", max_chars=18)
+        assert segs[0].startswith("...")
+        assert [s.strip() for s in segs] == ["...Hello there.", "Bye now."]
+
+    def test_terminator_only_text_passes_through(self):
+        # no sentence body at all: pass through whole and let the
+        # phonemizer decide whether anything speakable comes out
+        assert split_text("...") == ["..."]
+        assert split_text("?!") == ["?!"]
+
 
 class TestSplitIds:
     def _ids(self, n, space_every=10):
@@ -172,6 +185,44 @@ class TestSpeakStream:
         with pytest.raises(ValueError, match="exceeds 10"):
             service.speak_stream({"input": "x" * 11, "stream": True})
 
+    def test_submit_error_raises_before_first_chunk(self, service,
+                                                    monkeypatch):
+        # segment futures are submitted EAGERLY inside speak_stream, so a
+        # submission-time failure (e.g. the batcher wedge fail-fast) maps
+        # to a pre-commit 5xx rather than an empty/truncated 200 body
+        def boom(*args, **kwargs):
+            raise RuntimeError("synthesis backend wedged")
+
+        monkeypatch.setattr(service.batcher, "submit", boom)
+        with pytest.raises(RuntimeError, match="wedged"):
+            service.speak_stream(
+                {"phoneme_ids": _segmentable_ids(), "stream": True,
+                 "response_format": "pcm"}
+            )
+
+    def test_empty_phonemization_segments_are_skipped(self, service,
+                                                      monkeypatch):
+        # a symbol-only text segment can phonemize to an empty id list; it
+        # must never be submitted as an empty mid-stream utterance
+        import matcha_tpu.text.phonemizers as ph
+
+        def fake_phonemizer(text, lang):
+            if "zzz" in text:
+                return "", []
+            return "", _segmentable_ids(20)
+
+        monkeypatch.setattr(ph, "multilingual_phonemizer", fake_phonemizer)
+        monkeypatch.setattr(
+            ph, "emphasize_intonation_marks", lambda t: t
+        )
+        monkeypatch.setenv("STREAM_SEGMENT_CHARS", "8")
+        chunks, _ = service.speak_stream(
+            {"input": "Hello. zzz.", "voice": "0", "steps": 2,
+             "stream": True, "response_format": "pcm"}
+        )
+        chunks = list(chunks)
+        assert len(chunks) == 1 and len(chunks[0]) > 0
+
     def test_segment_target_clamped_to_bucket_ladder(self, service,
                                                      monkeypatch):
         # A segment larger than the biggest text bucket would raise MID
@@ -207,9 +258,24 @@ def test_http_stream_roundtrip(service, monkeypatch):
         )
         resp = conn.getresponse()
         assert resp.status == 200
+        # chunked framing is HTTP/1.1-only; the handler must declare 1.1
+        # or strict HTTP/1.0 intermediaries deliver the framing bytes as
+        # body (ADVICE r3)
+        assert resp.version == 11
         assert resp.getheader("Content-Type") == "audio/pcm"
         assert resp.getheader("Transfer-Encoding") == "chunked"
         data = resp.read()
+        # keep-alive: the same connection must serve a follow-up request
+        # after a fully-consumed chunked response
+        conn.request(
+            "POST", "/v1/audio/speech",
+            body=json.dumps({"phoneme_ids": ids[:16], "voice": "0",
+                             "steps": 2, "response_format": "pcm"}),
+            headers={"Content-Type": "application/json"},
+        )
+        resp2 = conn.getresponse()
+        assert resp2.status == 200
+        assert len(resp2.read()) > 0
         conn.close()
         # body equals the service-level stream concatenation
         chunks, _ = service.speak_stream(
