@@ -68,6 +68,15 @@ VOICES: list[dict[str, Any]] = [
 ]
 
 
+# serving pace clamp (reference: matcha/server.py:34-36): length_scale =
+# 1/speed is clamped to [0.1, 2.0]; together with the largest per-voice
+# correction this bounds the effective duration scale a request can carry —
+# the fused warmup ladder covers every mel bucket reachable in that range
+MIN_LENGTH_SCALE = 0.1
+MAX_LENGTH_SCALE = 2.0
+MAX_SCALE_CORRECTION = max(v["scale_correction"] for v in VOICES)
+
+
 def voice_by_id(speaker_id: int | str) -> dict[str, Any]:
     sid = str(speaker_id)
     for v in VOICES:
@@ -427,13 +436,32 @@ class MatchaSynthesizer:
             params, vocos_params, x, x_lengths, spk_enc, spk_dur, scale, noise
         )
 
-    def predict_fine_bucket(self, tx: int) -> int:
+    def predict_fine_bucket(self, tx: int, scale: float = 1.0) -> int:
         """Mel bucket guess from the text bucket: ~8 fine frames (40 ms) per
-        token (same heuristic the warmup ladder uses), clamped to the
-        ladder."""
-        expect = (tx // 2) * 8
-        expect = min(expect, self.mel_fine_buckets[-1])
+        token at pace 1.0, times the request's effective duration scale
+        (scale_correction × length_scale), clamped to the ladder.
+
+        The scale multiply matters: durations scale linearly with pace
+        (reference: matcha/inference.py:130-134), so without it every
+        slow-speech request (speed<1 → length_scale up to 2.0) predictably
+        overflowed the text-predicted bucket and silently paid the
+        two-dispatch fallback — SERVE_FUSED stopped helping exactly for the
+        longest-latency requests."""
+        expect = int((tx // 2) * 8 * max(scale, 0.0))
+        expect = min(max(expect, 1), self.mel_fine_buckets[-1])
         return pick_bucket(expect, self.mel_fine_buckets)
+
+    def fused_warm_buckets(self, tx: int) -> list[int]:
+        """Every mel bucket predict_fine_bucket can return for ``tx`` across
+        the serving pace range.  The prediction is monotonic in scale and
+        pick_bucket is monotonic in its argument, so the image over the
+        scale interval is exactly the contiguous rung range between the two
+        endpoint predictions."""
+        lo = self.predict_fine_bucket(tx, MIN_LENGTH_SCALE)
+        hi = self.predict_fine_bucket(
+            tx, MAX_LENGTH_SCALE * MAX_SCALE_CORRECTION
+        )
+        return [b for b in self.mel_fine_buckets if lo <= b <= hi]
 
     # -- public -------------------------------------------------------------
 
@@ -520,7 +548,9 @@ class MatchaSynthesizer:
             args = shard_batch(self.mesh, args)
 
         if fused and not debug:
-            y_fine_len = self.predict_fine_bucket(tx)
+            y_fine_len = self.predict_fine_bucket(
+                tx, scale_correction * length_scale
+            )
             mel, wav, total_dev = self._fused_jit(
                 self.params,
                 self.vocos_params,
@@ -680,7 +710,9 @@ class MatchaSynthesizer:
             )
 
         if fused:
-            yf_pred = self.predict_fine_bucket(tx)
+            # the group shares ONE mel bucket: size it for the slowest pace
+            # in the group (pad rows carry scale 1.0 and a 1-token floor)
+            yf_pred = self.predict_fine_bucket(tx, max(scales[:b]))
             mel, wav, total_dev = self._fused_jit(
                 self.params,
                 self.vocos_params,
@@ -875,18 +907,27 @@ class MatchaSynthesizer:
             for tx, yf in pairs:
                 self._warm_pair(tx, yf, n_timesteps, solver, b=b)
         if fused:
+            # warm EVERY fused bucket the serving pace range can predict
+            # (speed clamp [0.5, 10] → length_scale [0.1, 2.0], times the
+            # voice corrections): the pace-aware prediction means a
+            # length_scale=2.0 request asks for a bigger bucket than a
+            # pace-1.0 one, and an unwarmed fused program would compile
+            # inline mid-serving.  ~3 rungs per text bucket on the default
+            # geometric ladder; the persistent jax cache makes repeat boots
+            # free.
             for b in batch_sizes:
                 for tx in self.text_buckets:
-                    args = self._synthetic_stage_a_args(tx, b)
-                    out = self._fused_jit(
-                        self.params,
-                        self.vocos_params,
-                        *args,
-                        y_fine_len=self.predict_fine_bucket(tx),
-                        n_timesteps=n_timesteps,
-                        solver=solver,
-                    )
-                    jax.block_until_ready(out)
+                    for yf in self.fused_warm_buckets(tx):
+                        args = self._synthetic_stage_a_args(tx, b)
+                        out = self._fused_jit(
+                            self.params,
+                            self.vocos_params,
+                            *args,
+                            y_fine_len=yf,
+                            n_timesteps=n_timesteps,
+                            solver=solver,
+                        )
+                        jax.block_until_ready(out)
         # Warm the D2H path too: the FIRST device→host pull of a process can
         # be pathologically slow on remote transports (measured through the
         # dev tunnel: 2 min bare, 9 min after the ~120 MB param upload — the

@@ -91,7 +91,9 @@ class TestSynthesiseIds:
         # patched 16-frame prediction guarantees overflow
         ids = list(np.random.default_rng(5).integers(0, 600, 64))
         two = synth.synthesise_ids(ids, speaker=0, n_timesteps=2)
-        monkeypatch.setattr(synth, "predict_fine_bucket", lambda tx: 16)
+        monkeypatch.setattr(
+            synth, "predict_fine_bucket", lambda tx, scale=1.0: 16
+        )
         one = synth.synthesise_ids(ids, speaker=0, n_timesteps=2, fused=True)
         np.testing.assert_array_equal(one.wav, two.wav)
 
@@ -118,13 +120,62 @@ class TestSynthesiseIds:
         two = synth.synthesise_batch(id_lists, speakers=[0, 1, 2], n_timesteps=2)
         # force the fused program onto the LARGEST bucket (two-stage derives
         # 64 from the ~1-frame/token durations of random weights)
-        monkeypatch.setattr(synth, "predict_fine_bucket", lambda tx: 256)
+        monkeypatch.setattr(
+            synth, "predict_fine_bucket", lambda tx, scale=1.0: 256
+        )
         one = synth.synthesise_batch(
             id_lists, speakers=[0, 1, 2], n_timesteps=2, fused=True
         )
         for a, b in zip(one, two):
             assert len(a.wav) == len(b.wav)
             np.testing.assert_allclose(a.wav, b.wav, atol=1e-4)
+
+    def test_predict_fine_bucket_is_pace_aware(self, synth):
+        """The fused mel-bucket prediction must scale with the request's
+        effective duration scale: a speed=0.5 request (length_scale 2.0)
+        produces ~2× the frames, so it needs the next rung(s) up — without
+        the multiply every slow request overflowed and silently paid the
+        two-dispatch fallback (VERDICT r3 #3)."""
+        # ladder (64, 128, 256); tx=16 → 8 tokens × 8 frames = 64 expected
+        assert synth.predict_fine_bucket(16) == 64
+        assert synth.predict_fine_bucket(16, 1.0) == 64
+        assert synth.predict_fine_bucket(16, 2.0) == 128
+        assert synth.predict_fine_bucket(16, 0.1) == 64  # floor: smallest rung
+        assert synth.predict_fine_bucket(16, 100.0) == 256  # clamped to top
+        # the warm set is the contiguous rung range over the pace clamp
+        assert synth.fused_warm_buckets(16) == [64, 128, 256]
+
+    def test_fused_pace_request_hits_warmed_program(self, synth):
+        """A length_scale=2.0 fused request must complete in ONE dispatch
+        (no two-stage fallback) against a program the fused warmup already
+        compiled (no new jit cache entry)."""
+        synth.warmup(n_timesteps=2, fused=True)
+        n_fused = synth._fused_jit._cache_size()
+        calls = []
+        orig_encode = synth.__dict__.get("_encode_jit", synth._encode_jit)
+
+        def counting_encode(*a, **k):
+            calls.append(1)
+            return orig_encode(*a, **k)
+
+        synth._encode_jit = counting_encode
+        try:
+            ids = list(np.random.default_rng(9).integers(0, 600, 10))
+            slow = synth.synthesise_ids(
+                ids, speaker=0, n_timesteps=2, length_scale=2.0, fused=True
+            )
+        finally:
+            synth._encode_jit = orig_encode
+        assert not calls, "fused slow-pace request fell back to two-stage"
+        assert synth._fused_jit._cache_size() == n_fused, (
+            "slow-pace fused request compiled a program warmup missed"
+        )
+        # and the audio still matches the exact two-stage path
+        two = synth.synthesise_ids(
+            ids, speaker=0, n_timesteps=2, length_scale=2.0
+        )
+        assert len(slow.wav) == len(two.wav)
+        np.testing.assert_allclose(slow.wav, two.wav, atol=1e-4)
 
     def test_batch_position_does_not_change_audio(self, synth):
         """Serving determinism: an utterance's audio must not depend on which
