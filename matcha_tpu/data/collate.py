@@ -38,6 +38,12 @@ def collate(
     utts = [dataset.utterance(i) for i in plan.indices]
     tx = round_up(max(len(u.phoneme_ids) for u in utts), text_bucket)
 
+    # repeat-filled tail rows get loss weight 0 so under-full buckets are
+    # exactly gradient-neutral (the losses normalize by weighted counts)
+    n_real = plan.n_real if plan.n_real >= 0 else b
+    weights = np.zeros((b,), np.float32)
+    weights[:n_real] = 1.0
+
     x = np.zeros((b, tx), np.int32)
     x_lengths = np.zeros((b,), np.int32)
     spks = np.zeros((b,), np.int32)
@@ -63,6 +69,7 @@ def collate(
             y_fine,
             y_fine_lengths.astype(np.int32),
             spks,
+            weights,
         )
 
     items = [dataset[i] for i in plan.indices]
@@ -79,7 +86,7 @@ def collate(
         y_fine[k, :nf] = it["y_fine"][:nf]
         y_fine_lengths[k] = nf
 
-    return Batch(x, x_lengths, y, y_lengths, y_fine, y_fine_lengths, spks)
+    return Batch(x, x_lengths, y, y_lengths, y_fine, y_fine_lengths, spks, weights)
 
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:

@@ -11,8 +11,13 @@ stable batch count) while quantizing every batch to a small static shape set:
 
   * mel length is rounded up to a multiple of ``len_bucket`` frames
   * batch size is a *function of the bucket*: B(L) = max_frames // L
-  * short batches are filled by repeating members (weight-neutral for speech
-    training, keeps shapes exact)
+  * short batches are filled by repeating members to keep shapes exact; the
+    fill rows are EXCLUDED from the loss via per-row weights (``n_real``
+    marks the genuine prefix; collate emits weight 0 for fill rows, and the
+    training losses normalize by weighted counts), so repeat-fill is exactly
+    gradient-neutral — the reference never duplicates samples
+    (reference: matcha/data/text_mel_datamodule.py:111-133) and neither,
+    effectively, do we
 
 so the number of distinct compiled programs is at most the number of length
 buckets.
@@ -34,6 +39,7 @@ class BucketPlan:
     mel_len: int       # padded coarse-mel length for every sample in batch
     batch_size: int    # exact number of rows (after fill)
     indices: list[int]  # dataset indices; may contain repeats to fill
+    n_real: int = -1   # genuine rows (prefix); fill rows get loss weight 0
 
 
 class BucketedBatchSampler:
@@ -138,7 +144,12 @@ class BucketedBatchSampler:
         while len(filled) < b:  # repeat members to hit the exact bucket B
             filled.append(indices[k % len(indices)])
             k += 1
-        return BucketPlan(mel_len=bucket, batch_size=b, indices=filled[:b])
+        return BucketPlan(
+            mel_len=bucket,
+            batch_size=b,
+            indices=filled[:b],
+            n_real=min(len(indices), b),
+        )
 
     def shape_set(self) -> set[tuple[int, int]]:
         """All (B, mel_len) shapes this corpus can produce (compile budget)."""

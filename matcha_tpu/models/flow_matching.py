@@ -104,6 +104,7 @@ def cfm_loss(
     sigma_min: float = 1e-4,
     use_mu_prior: bool = True,
     t_noise: tuple[jax.Array, jax.Array] | None = None,
+    row_weights: jax.Array | None = None,
 ) -> jax.Array:
     """Masked OT-CFM loss. (reference: flow_matching.py:65-112)
 
@@ -117,6 +118,8 @@ def cfm_loss(
         rng: PRNG key for (t, x0).
         t_noise: optional fixed ((B,1,1) timestep, (B,T,C) noise) overriding
             the rng draw — determinism hook for cross-framework parity tests.
+        row_weights: optional (B,) loss weights (0 excludes repeat-filled
+            rows); the estimator still sees the binary mask.
     """
     b = x1.shape[0]
     if t_noise is not None:
@@ -133,7 +136,10 @@ def cfm_loss(
     pred = estimator(y, mask, mu, t[:, 0, 0])
     m = mask[..., None]
     sq = jnp.square((pred - u) * m)
-    return jnp.sum(sq) / (jnp.sum(m) * x1.shape[-1])
+    if row_weights is None:
+        return jnp.sum(sq) / (jnp.sum(m) * x1.shape[-1])
+    w = row_weights[:, None, None]
+    return jnp.sum(sq * w) / (jnp.sum(m * w) * x1.shape[-1])
 
 
 def seeded_synthesis_noise(

@@ -102,8 +102,19 @@ class MatchaTTS(nn.Module):
         *,
         deterministic: bool = False,
         cfm_t_noise: tuple[jax.Array, jax.Array] | None = None,
+        row_weights: jax.Array | None = None,
     ) -> dict[str, jax.Array]:
+        """``row_weights``: optional (B,) per-row loss weights.  The sampler
+        repeat-fills under-full buckets to hit the static batch shape; those
+        fill rows arrive with weight 0 so every loss normalizes over genuine
+        rows only (exact gradient neutrality — the reference never
+        duplicates samples, text_mel_datamodule.py:111-133)."""
         cfg = self.cfg
+        w = (
+            jnp.ones((x.shape[0],), jnp.float32)
+            if row_weights is None
+            else row_weights.astype(jnp.float32)
+        )
         x_mask = sequence_mask(x_lengths, x.shape[1]).astype(jnp.float32)
         y_mask = sequence_mask(y_lengths, y.shape[1]).astype(jnp.float32)
         y_fine_mask = sequence_mask(y_fine_lengths, y_fine.shape[1]).astype(
@@ -140,7 +151,8 @@ class MatchaTTS(nn.Module):
             optax.losses.huber_loss(
                 logw, logw_target, delta=cfg.duration_loss_threshold
             )
-        ) / jnp.sum(x_lengths)
+            * w[:, None]
+        ) / jnp.sum(x_lengths * w)
 
         # ---- prior loss (fine resolution, fp32) ----
         # prior assembly is a gather, not a dense-path matmul: O(B·Ty·C)
@@ -153,7 +165,8 @@ class MatchaTTS(nn.Module):
                 optax.losses.huber_loss(
                     mu_y_fine * m, y_fine32 * m, delta=cfg.prior_loss_threshold
                 )
-            ) / jnp.sum(y_fine_mask)
+                * w[:, None, None]
+            ) / jnp.sum(y_fine_mask * w[:, None])
         else:
             prior_loss = jnp.asarray(0.0, jnp.float32)
 
@@ -173,6 +186,7 @@ class MatchaTTS(nn.Module):
             sigma_min=cfg.cfm.sigma_min,
             use_mu_prior=cfg.cfm.use_mu_prior,
             t_noise=cfm_t_noise,
+            row_weights=w,
         )
 
         # abs-error quantile diagnostics, logged at epoch starts to tune the

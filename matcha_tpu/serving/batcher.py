@@ -35,7 +35,7 @@ class RequestBatcher:
     def __init__(
         self,
         synthesizer,
-        max_batch: int = 8,
+        max_batch: int = 16,  # bench's measured RTF knee (performance.md)
         max_wait_ms: float = 15.0,
         fused: bool = False,
         pipeline: int = 1,

@@ -89,7 +89,11 @@ class TTSService:
 
             self.batcher = RequestBatcher(
                 synthesizer,
-                max_batch=int(os.environ.get("BATCHER_MAX_BATCH", "8")),
+                # default 16: bench's B-scaling table puts the RTF knee at
+                # B=16-32 (0.00124/0.00095 vs 0.00206 at B=8) with the fixed
+                # ~62 ms dispatch cost dominating, so larger groups are
+                # near-free throughput (documentation/performance.md)
+                max_batch=int(os.environ.get("BATCHER_MAX_BATCH", "16")),
                 max_wait_ms=float(os.environ.get("BATCHER_MAX_WAIT_MS", "15")),
                 fused=self.fused,
                 # SERVE_PIPELINE=N: keep up to N groups in flight so the

@@ -219,6 +219,90 @@ def validate_triple_structure(ids: list[int]) -> None:
                 raise AssertionError(f"dangling POST token {pid} at {i}")
 
 
+# Live-NeMo assertion set: exact normalizer outputs the reference pins in
+# its (non-hermetic) test suite (reference: tests/test_phonemizers.py:127-171).
+# These are expected outputs of the third-party NeMo FST grammars — a
+# behavioural contract, exercised only where nemo_text_processing exists
+# (the --require-nemo Docker build gate, RELEASE.md §5).
+NEMO_SNAPSHOTS: dict[str, list[tuple[str, str]]] = {
+    "en": [
+        (
+            "Dr. Jones will see you at 15:00.",
+            "doctor Jones will see you at fifteen o'clock.",
+        ),
+        (
+            "The price is $5.00 as of Jan 21st, 2026.",
+            "The price is five dollars as of january twenty first, "
+            "twenty twenty six.",
+        ),
+        (
+            "He scored 95% on the test.",
+            "He scored ninety five percent on the test.",
+        ),
+        # the left smart quote is stripped pre-NeMo; the right one is kept
+        ("He said hello ‘back’.", "He said hello back’."),
+        ("Word   ", "Word"),
+    ],
+    "de": [
+        (
+            "Dr. Müller sieht Sie um 15:00 Uhr.",
+            "doktor Müller sieht Sie um fünfzehn uhr .",
+        ),
+    ],
+    "it": [
+        (
+            "Il Dr. Rossi la vedrà alle 15:00.",
+            "Il dottor Rossi la vedrà alle quindici .",
+        ),
+    ],
+    "es": [
+        (
+            "El Dr. García llegará a las 15:00.",
+            "El Doctor García llegará a las quince .",
+        ),
+    ],
+    "fr": [
+        # NeMo fr does not expand Dr. — pin the no-op too
+        (
+            "Le Dr. Dupont vous verra à 15h00.",
+            "Le Dr. Dupont vous verra à 15h00.",
+        ),
+    ],
+}
+
+
+def nemo_selftest(languages=None) -> None:
+    """LIVE NeMo normalization gate: require the package and assert the
+    reference's normalization snapshots verbatim.  Unlike ``selftest`` (which
+    degrades gracefully when NeMo is absent), this RAISES if
+    nemo_text_processing is missing — wire it behind a Docker build arg
+    (docker/Dockerfile REQUIRE_NEMO=1)."""
+    try:
+        import nemo_text_processing  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "--require-nemo: nemo_text_processing is not installed; the live "
+            "normalization path cannot be verified"
+        ) from exc
+    # accept full language tags ("en-us") and keep only snapshotted bases
+    bases = [l.split("-")[0] for l in (languages or list(NEMO_SNAPSHOTS))]
+    langs = [l for l in dict.fromkeys(bases) if l in NEMO_SNAPSHOTS]
+    if not langs:
+        raise ValueError(f"no NeMo snapshots for languages {languages}")
+    for lang in langs:
+        if _get_normalizer(lang) is None:
+            raise RuntimeError(f"--require-nemo: normalizer failed to build for {lang}")
+        for raw, expected in NEMO_SNAPSHOTS[lang]:
+            got = normalize_text(lang, raw)
+            if got != expected:
+                raise AssertionError(
+                    f"NeMo normalization drift [{lang}]: {raw!r} -> {got!r}, "
+                    f"expected {expected!r}"
+                )
+        print(f"nemo selftest {lang}: {len(NEMO_SNAPSHOTS[lang])} snapshots ok")
+    print(f"nemo selftest: all {len(langs)} languages ok")
+
+
 def selftest(languages=SUPPORTED_LANGUAGES) -> None:
     """Phonemize one sentence per language through the LIVE eSpeak/NeMo path
     and validate the output structure.  Raises on any failure — intended as
@@ -244,7 +328,15 @@ if __name__ == "__main__":
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--selftest", action="store_true")
+    parser.add_argument(
+        "--require-nemo",
+        action="store_true",
+        help="fail (don't degrade) without nemo_text_processing, and assert "
+        "the reference's normalization snapshots against the live grammars",
+    )
     parser.add_argument("--lang", action="append", help="restrict languages")
     args = parser.parse_args()
+    if args.require_nemo:
+        nemo_selftest(tuple(args.lang) if args.lang else None)
     if args.selftest:
         selftest(tuple(args.lang) if args.lang else SUPPORTED_LANGUAGES)

@@ -40,6 +40,10 @@ class Batch(NamedTuple):
     y_fine: jax.Array        # (B, 2*Ty, C) fine mel
     y_fine_lengths: jax.Array  # (B,)
     spks: jax.Array          # (B,)
+    # (B,) per-row loss weights; 0 marks repeat-filled rows so under-full
+    # buckets are gradient-neutral.  None (the default, for hand-built
+    # batches) means all-ones.
+    weights: jax.Array | None = None
 
 
 def make_train_step(
@@ -77,6 +81,7 @@ def make_train_step(
             batch.y_fine_lengths,
             batch.spks,
             rng,
+            row_weights=batch.weights,
             rngs={"dropout": jax.random.fold_in(rng, 7)},
             method=MatchaTTS.compute_losses,
         )
@@ -115,7 +120,9 @@ def make_train_step(
         if state_sharding is not None
         else TrainState(params=repl, opt_state=repl, step=repl)
     )
-    batch_sh = Batch(*([data] * len(Batch._fields)))
+    # prefix sharding: one NamedSharding covers every Batch leaf (and skips
+    # a None weights field from hand-built batches)
+    batch_sh = data
     train_jit = jax.jit(
         train_step,
         in_shardings=(state_sh, batch_sh, repl),

@@ -77,6 +77,19 @@ class MetricLogger:
             for k, v in metrics.items():
                 self.tb.add_scalar(k, float(v), step)
 
+    def close(self):
+        if not self.jsonl.closed:
+            self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
+            self.tb = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
 
 class Trainer:
     def __init__(
@@ -369,6 +382,7 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.seed)
         epoch = 0
         done = False
+        last_saved = None  # epoch of the most recent checkpoint, if any
         host_step = int(state.step)  # one sync at start, then host-tracked
         while not done and (self.cfg.max_epochs < 0 or epoch < self.cfg.max_epochs):
             t_epoch = time.time()
@@ -411,8 +425,12 @@ class Trainer:
 
             if (epoch + 1) % self.cfg.checkpoint_every_n_epochs == 0 or done:
                 self.save(state, epoch)
+                last_saved = epoch
             epoch += 1
-        if not (epoch % max(self.cfg.checkpoint_every_n_epochs, 1) == 0):
+        # final save exactly once: skip when the loop's last epoch was
+        # already checkpointed (the old modulo test re-saved when ``done``
+        # fired off a checkpoint boundary)
+        if epoch > 0 and last_saved != epoch - 1:
             self.save(state, epoch - 1)
         return state
 
@@ -429,6 +447,16 @@ class Trainer:
             int(state.step),
             {"loss/val": float(np.mean(vals)) if vals else 0.0, "epoch": epoch},
         )
+
+    def close(self):
+        """Release the metrics sinks (JSONL handle, TensorBoard writer)."""
+        self.logger.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def save(self, state: TrainState, epoch: int):
         params, opt_state = state.params, state.opt_state

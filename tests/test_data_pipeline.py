@@ -140,3 +140,44 @@ class TestCollate:
         ds, sampler = TestSampler()._sampler(corpus)
         batches = list(epoch_batches(ds, sampler, epoch=0, text_bucket=16))
         assert len(batches) == len(sampler.create_batches(0))
+
+
+class TestRepeatFillWeights:
+    """Under-full buckets: fill rows are marked and weighted out of the loss
+    (the reference never duplicates samples, text_mel_datamodule.py:111-133;
+    here duplicates exist only as shape padding with loss weight 0)."""
+
+    def test_n_real_marks_genuine_prefix(self, corpus):
+        filelist, mel_dir = corpus
+        ds = TextMelDataset(filelist, mel_dir)
+        # 2-utterance corpus slice + batch_multiple=8 forces repeat fill
+        lengths = [ds.mel_length(0), ds.mel_length(1)]
+        sampler = BucketedBatchSampler(
+            lengths, max_frames_per_batch=4000, len_bucket=32, batch_multiple=8
+        )
+        plans = sampler.create_batches(0)
+        for plan in plans:
+            assert plan.batch_size % 8 == 0
+            assert 1 <= plan.n_real <= 2
+            # fill rows are repeats of the genuine prefix
+            real = plan.indices[: plan.n_real]
+            assert all(i in real for i in plan.indices[plan.n_real:])
+
+    def test_collate_emits_zero_weights_for_fill(self, corpus):
+        filelist, mel_dir = corpus
+        ds = TextMelDataset(filelist, mel_dir)
+        lengths = [ds.mel_length(0), ds.mel_length(1)]
+        sampler = BucketedBatchSampler(
+            lengths, max_frames_per_batch=4000, len_bucket=32, batch_multiple=8
+        )
+        plan = sampler.create_batches(0)[0]
+        batch = collate(ds, plan, text_bucket=16)
+        assert batch.weights.shape == (plan.batch_size,)
+        np.testing.assert_array_equal(batch.weights[: plan.n_real], 1.0)
+        np.testing.assert_array_equal(batch.weights[plan.n_real:], 0.0)
+
+    def test_full_batches_all_ones(self, corpus):
+        ds, sampler = TestSampler()._sampler(corpus)
+        for plan in sampler.create_batches(0):
+            batch = collate(ds, plan, text_bucket=16)
+            assert batch.weights[: plan.n_real].min() == 1.0

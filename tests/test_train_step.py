@@ -328,3 +328,115 @@ class TestShardMapMasTraining:
             _, m = step(state, batch, key)
             losses[backend] = float(np.asarray(m["loss"]))
         assert abs(losses["scan"] - losses["pallas_shard_map"]) < 1e-5, losses
+
+
+class TestRepeatFillNeutrality:
+    """Repeat-filled rows (sampler under-full buckets) carry loss weight 0:
+    the filled batch must produce EXACTLY the losses and parameter gradients
+    of the unfilled batch — the reference never duplicates samples
+    (text_mel_datamodule.py:111-133), so neither may our gradients."""
+
+    def _losses_and_grads(self, params, batch, t_noise, weights):
+        from matcha_tpu.models.matcha import MatchaTTS
+
+        model = MatchaTTS(CFG)
+
+        def loss_fn(p):
+            losses = model.apply(
+                {"params": p},
+                batch.x,
+                batch.x_lengths,
+                batch.y,
+                batch.y_lengths,
+                batch.y_fine,
+                batch.y_fine_lengths,
+                batch.spks,
+                jax.random.PRNGKey(0),
+                deterministic=True,
+                cfm_t_noise=t_noise,
+                row_weights=weights,
+                method=MatchaTTS.compute_losses,
+            )
+            return losses["loss"], losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return losses, grads
+
+    def test_filled_batch_matches_unfilled(self):
+        from matcha_tpu.models.matcha import init_params
+
+        params = init_params(CFG, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(3)
+        b_real, b_full, tx, ty = 2, 4, 10, 12
+        x = rng.integers(0, 600, (b_real, tx)).astype(np.int32)
+        x_lengths = rng.integers(4, tx + 1, (b_real,)).astype(np.int32)
+        y = rng.standard_normal((b_real, ty, CFG.n_feats)).astype(np.float32)
+        y_lengths = rng.integers(8, ty + 1, (b_real,)).astype(np.int32)
+        y_fine = rng.standard_normal((b_real, 2 * ty, CFG.n_feats)).astype(
+            np.float32
+        )
+        y_fine_lengths = (2 * y_lengths).astype(np.int32)
+        spks = rng.integers(0, CFG.n_spks, (b_real,)).astype(np.int32)
+        t = rng.uniform(0.1, 0.9, (b_real, 1, 1)).astype(np.float32)
+        noise = rng.standard_normal((b_real, ty, CFG.n_feats)).astype(np.float32)
+
+        real = Batch(x, x_lengths, y, y_lengths, y_fine, y_fine_lengths, spks)
+        # fill rows repeat the real prefix (exactly what _finalize emits)
+        fill = lambda a: np.concatenate([a, a[: b_full - b_real]], axis=0)
+        filled = Batch(*[fill(np.asarray(f)) for f in tuple(real)[:7]])
+        w = np.asarray([1.0] * b_real + [0.0] * (b_full - b_real), np.float32)
+
+        losses_a, grads_a = self._losses_and_grads(
+            params, real, (t, noise), np.ones((b_real,), np.float32)
+        )
+        losses_b, grads_b = self._losses_and_grads(
+            params, filled, (fill(t), fill(noise)), w
+        )
+
+        for k in ("loss", "diff_loss", "dur_loss", "prior_loss"):
+            np.testing.assert_allclose(
+                np.asarray(losses_a[k]), np.asarray(losses_b[k]),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+        flat_a = jax.tree_util.tree_leaves(grads_a)
+        flat_b = jax.tree_util.tree_leaves(grads_b)
+        for ga, gb in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(ga), np.asarray(gb), rtol=2e-4, atol=1e-6
+            )
+
+    def test_unweighted_repeat_fill_is_biased(self):
+        """Sanity: WITHOUT the weights the filled batch does NOT match —
+        i.e. the weighting is load-bearing, not vacuous."""
+        from matcha_tpu.models.matcha import init_params
+
+        params = init_params(CFG, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(3)
+        b_real, b_full, tx, ty = 2, 4, 10, 12
+        x = rng.integers(0, 600, (b_real, tx)).astype(np.int32)
+        x_lengths = rng.integers(4, tx + 1, (b_real,)).astype(np.int32)
+        y = rng.standard_normal((b_real, ty, CFG.n_feats)).astype(np.float32)
+        y_lengths = rng.integers(8, ty + 1, (b_real,)).astype(np.int32)
+        y_fine = rng.standard_normal((b_real, 2 * ty, CFG.n_feats)).astype(
+            np.float32
+        )
+        y_fine_lengths = (2 * y_lengths).astype(np.int32)
+        spks = rng.integers(0, CFG.n_spks, (b_real,)).astype(np.int32)
+        t = rng.uniform(0.1, 0.9, (b_real, 1, 1)).astype(np.float32)
+        noise = rng.standard_normal((b_real, ty, CFG.n_feats)).astype(np.float32)
+
+        real = Batch(x, x_lengths, y, y_lengths, y_fine, y_fine_lengths, spks)
+        # duplicate ONLY row 0 (unequal duplication): without weights its
+        # loss contribution is double-counted, shifting every mean
+        fill = lambda a: np.concatenate([a, a[:1]], axis=0)
+        filled = Batch(*[fill(np.asarray(f)) for f in tuple(real)[:7]])
+
+        losses_a, _ = self._losses_and_grads(
+            params, real, (t, noise), np.ones((b_real,), np.float32)
+        )
+        losses_b, _ = self._losses_and_grads(
+            params, filled, (fill(t), fill(noise)), None
+        )
+        assert abs(
+            float(losses_a["loss"]) - float(losses_b["loss"])
+        ) > 1e-4

@@ -244,3 +244,51 @@ class TestFinetuneSpeakerCli:
             np.testing.assert_array_equal(
                 np.asarray(leaf), np.asarray(flat_a[path]), err_msg=key
             )
+
+
+class TestCheckpointBoundaries:
+    """Exact checkpoint set for a fit run: one save per boundary, and the
+    final-epoch save never duplicates an in-loop save (the old modulo test
+    re-saved when ``done`` fired off a checkpoint boundary)."""
+
+    def _fit_with_recorder(self, corpus, name, max_epochs, every, max_steps=None):
+        trainer = make_trainer(corpus, name, max_epochs=max_epochs)
+        trainer.cfg.checkpoint_every_n_epochs = every
+        trainer.cfg.check_val_every_n_epoch = 10**6
+        trainer.cfg.keep_last_checkpoints = 100
+        saved = []
+        trainer.save = lambda state, epoch: saved.append(epoch)
+        # stub the jitted step: boundary logic is host-side control flow
+        from matcha_tpu.train.step import TrainState
+
+        def fake_step(state, batch, rng):
+            return (
+                TrainState(state.params, state.opt_state, state.step + 1),
+                {"loss": np.zeros(())},
+            )
+
+        trainer.train_step = fake_step
+        trainer.fit(max_steps=max_steps)
+        trainer.close()
+        return saved
+
+    def test_every_epoch_no_final_duplicate(self, corpus):
+        saved = self._fit_with_recorder(corpus, "cb1", max_epochs=3, every=1)
+        assert saved == [0, 1, 2]
+
+    def test_max_steps_stop_on_boundary_saves_once(self, corpus):
+        saved = self._fit_with_recorder(
+            corpus, "cb2", max_epochs=10, every=5, max_steps=1
+        )
+        assert saved == [0]
+
+    def test_off_boundary_end_gets_final_save(self, corpus):
+        saved = self._fit_with_recorder(corpus, "cb3", max_epochs=3, every=2)
+        assert saved == [1, 2]
+
+    def test_logger_closes(self, corpus):
+        trainer = make_trainer(corpus, "cb4", max_epochs=1)
+        with trainer:
+            pass
+        assert trainer.logger.jsonl.closed
+        assert trainer.logger.tb is None
