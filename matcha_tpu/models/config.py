@@ -27,6 +27,12 @@ class EncoderConfig:
     prenet_kernel_size: int = 5
     prenet_layers: int = 6
     rope_max_len: int = 4000    # upper bound on tokenized text length
+    # torch-autocast semantics under bf16 compute: LayerNorm outputs and
+    # residual adds stay fp32, only conv/dense inputs run bf16 (see
+    # DecoderConfig.fp32_residual — the encoder matters doubly because the
+    # ODE is anchored on mu_x, so encoder rounding propagates straight
+    # into the mel).  No-op under fp32 compute.
+    fp32_residual: bool = True
 
 
 @dataclass(frozen=True)
@@ -52,6 +58,22 @@ class DecoderConfig:
     # cost of one extra forward — the TPU lever for large frame budgets
     # (HBM-bound training).  Numerics are identical (tests pin grads).
     remat: bool = False
+    # Compute GroupNorm/LayerNorm statistics in the compute dtype instead
+    # of flax's default fp32 promotion.  Only meaningful under bf16; an
+    # inference-side speed lever measured by tools/ab_stage_b_levers.py —
+    # keep False unless the A/B shows a win AND the on-TPU parity tier
+    # (tests/test_tpu_e2e.py) stays under its MCD bar with it on.
+    bf16_norm_stats: bool = False
+    # Under bf16 compute, keep the U-Net's residual carry (and GroupNorm
+    # outputs) in fp32 — torch-autocast semantics: only matmul/conv inputs
+    # run bf16; adds, norms, and the stream between blocks stay fp32.  The
+    # reference serves under exactly this regime (matcha/inference.py:238
+    # wraps synthesise in torch.autocast, which never casts adds/norms),
+    # and an all-bf16 carry compounds rounding noise across the ODE's 8
+    # U-Net evals (measured on-chip: mel MCD vs the fp32 oracle more than
+    # halves with fp32 carry — tests/test_tpu_e2e.py).  No-op under fp32
+    # compute, so the CPU parity/golden suites are unaffected.
+    fp32_residual: bool = True
 
     @property
     def num_downsamples(self) -> int:

@@ -88,13 +88,22 @@ class Block1D(nn.Module):
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
     masked_stats: bool = False
+    f32_stats: bool = True
+    # torch-autocast semantics: GroupNorm (and everything after it) in
+    # fp32, only the conv itself in the compute dtype — see
+    # DecoderConfig.fp32_residual
+    f32_carry: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
         m = mask[..., None].astype(self.dtype)
         h = nn.Conv(self.dim_out, (3,), padding="SAME", dtype=self.dtype)(x * m)
         # epsilon=1e-5 matches torch GroupNorm (flax defaults to 1e-6)
-        gn = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)
+        norm_dtype = jnp.float32 if self.f32_carry else self.dtype
+        gn = nn.GroupNorm(
+            num_groups=self.groups, epsilon=1e-5, dtype=norm_dtype,
+            force_float32_reductions=self.f32_stats,
+        )
         if self.masked_stats:
             h = gn(h, mask=jnp.broadcast_to(mask[..., None] > 0, h.shape))
         else:
@@ -112,19 +121,25 @@ class ResnetBlock1D(nn.Module):
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
     masked_stats: bool = False
+    f32_stats: bool = True
+    f32_carry: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, t_emb: jax.Array) -> jax.Array:
         h = Block1D(
             self.dim_out, self.groups, dtype=self.dtype,
-            masked_stats=self.masked_stats, name="block1",
+            masked_stats=self.masked_stats, f32_stats=self.f32_stats,
+            f32_carry=self.f32_carry, name="block1",
         )(x, mask)
+        # fp32 carry + bf16 Dense output promotes the sum to fp32 — exactly
+        # autocast's "adds stay fp32" rule, no explicit cast needed
         h = h + nn.Dense(self.dim_out, name="time_proj", dtype=self.dtype)(
             mish(t_emb)
         )[:, None, :]
         h = Block1D(
             self.dim_out, self.groups, dtype=self.dtype,
-            masked_stats=self.masked_stats, name="block2",
+            masked_stats=self.masked_stats, f32_stats=self.f32_stats,
+            f32_carry=self.f32_carry, name="block2",
         )(h, mask)
         res = nn.Conv(self.dim_out, (1,), name="res_conv", dtype=self.dtype)(
             x * mask[..., None].astype(self.dtype)
@@ -170,6 +185,7 @@ class DecoderTransformerBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
+    f32_stats: bool = True
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -179,7 +195,10 @@ class DecoderTransformerBlock(nn.Module):
         inner = self.num_heads * self.head_dim
 
         # epsilon=1e-5 matches torch LayerNorm (flax defaults to 1e-6)
-        h = nn.LayerNorm(name="norm1", epsilon=1e-5, dtype=self.dtype)(x)
+        h = nn.LayerNorm(
+            name="norm1", epsilon=1e-5, dtype=self.dtype,
+            force_float32_reductions=self.f32_stats,
+        )(x)
         q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(h)
         k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(h)
         v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(h)
@@ -197,7 +216,10 @@ class DecoderTransformerBlock(nn.Module):
         out = nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
         x = x + nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
-        h = nn.LayerNorm(name="norm3", epsilon=1e-5, dtype=self.dtype)(x)
+        h = nn.LayerNorm(
+            name="norm3", epsilon=1e-5, dtype=self.dtype,
+            force_float32_reductions=self.f32_stats,
+        )(x)
         x = x + SnakeBetaFFN(
             self.dim, dropout=self.dropout, dtype=self.dtype, name="ff"
         )(h, deterministic=deterministic)
@@ -221,14 +243,21 @@ class ConformerBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
+    f32_stats: bool = True
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         # positional-or-keyword for nn.remat's static_argnums (see above)
         m = mask[..., None].astype(self.dtype)
 
+        def _ln(name):
+            return nn.LayerNorm(
+                name=name, epsilon=1e-5, dtype=self.dtype,
+                force_float32_reductions=self.f32_stats,
+            )
+
         def ffn(h, name):
-            h = nn.LayerNorm(name=f"{name}_norm", epsilon=1e-5, dtype=self.dtype)(h)
+            h = _ln(f"{name}_norm")(h)
             h = nn.Dense(self.dim * self.ff_mult * 4, name=f"{name}_in", dtype=self.dtype)(h)
             h = nn.swish(h)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -237,7 +266,7 @@ class ConformerBlock(nn.Module):
         x = x + 0.5 * ffn(x, "ff1")
 
         # MHSA
-        h = nn.LayerNorm(name="attn_norm", epsilon=1e-5, dtype=self.dtype)(x)
+        h = _ln("attn_norm")(x)
         b, t, _ = h.shape
         inner = self.num_heads * self.head_dim
         q = nn.Dense(inner, name="to_q", dtype=self.dtype)(h)
@@ -254,7 +283,7 @@ class ConformerBlock(nn.Module):
         x = x + nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
 
         # conv module: LN → pointwise glu → depthwise → swish → pointwise
-        h = nn.LayerNorm(name="conv_norm", epsilon=1e-5, dtype=self.dtype)(x)
+        h = _ln("conv_norm")(x)
         h = nn.Dense(self.dim * self.conv_expansion * 2, name="conv_in", dtype=self.dtype)(h)
         a, g = jnp.split(h, 2, axis=-1)
         h = a * nn.sigmoid(g)
@@ -268,7 +297,7 @@ class ConformerBlock(nn.Module):
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         x = x + 0.5 * ffn(x, "ff2")
-        return nn.LayerNorm(name="final_norm", epsilon=1e-5, dtype=self.dtype)(x)
+        return _ln("final_norm")(x)
 
 
 class Downsample1D(nn.Module):
@@ -325,6 +354,13 @@ class Decoder(nn.Module):
             (B, T, n_feats) predicted velocity.
         """
         cfg = self.cfg
+        f32_stats = not cfg.bf16_norm_stats
+        # autocast-style mixed precision (DecoderConfig.fp32_residual): the
+        # residual carry between blocks/stages stays fp32; matmul/conv
+        # modules still take bf16 inputs (flax casts down per-module), so
+        # the MXU work is unchanged — only the stream's rounding points go.
+        f32_carry = cfg.fp32_residual and self.dtype != jnp.float32
+        carry = jnp.float32 if f32_carry else self.dtype
         in_ch = x.shape[-1] + mu.shape[-1]
         t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
         t_emb = SinusoidalTimeEmbedding(in_ch, name="time_embeddings")(t)
@@ -332,7 +368,7 @@ class Decoder(nn.Module):
             cfg.channels[0] * 4, dtype=self.dtype, name="time_mlp"
         )(t_emb)
 
-        h = jnp.concatenate([x, mu], axis=-1).astype(self.dtype)
+        h = jnp.concatenate([x, mu], axis=-1).astype(carry)
 
         # cfg.remat: jax.checkpoint each block so the backward pass holds one
         # block's activations at a time instead of the whole U-Net's (lifted
@@ -356,6 +392,7 @@ class Decoder(nn.Module):
                     dropout=cfg.dropout,
                     dtype=self.dtype,
                     attn_backend=self.attn_backend,
+                    f32_stats=f32_stats,
                     name=f"{stage}_tblock{bi}",
                 )(h, m, deterministic)
             return h
@@ -365,25 +402,27 @@ class Decoder(nn.Module):
         for i, ch in enumerate(cfg.channels):
             m = masks[-1]
             h = resnet_cls(
-                ch, dtype=self.dtype, masked_stats=masked_norm,
+                ch, dtype=self.dtype, masked_stats=masked_norm, f32_stats=f32_stats,
+                f32_carry=f32_carry,
                 name=f"down{i}_resnet",
             )(h, m, t_emb)
             h = run_blocks(h, m, f"down{i}", ch)
             skips.append(h)
             is_last = i == len(cfg.channels) - 1
             if not is_last:
-                h = Downsample1D(ch, dtype=self.dtype, name=f"down{i}_downsample")(h * m[..., None].astype(self.dtype))
+                h = Downsample1D(ch, dtype=self.dtype, name=f"down{i}_downsample")(h * m[..., None].astype(self.dtype)).astype(carry)
                 masks.append(m[:, ::2])
             else:
                 h = nn.Conv(
                     ch, (3,), padding="SAME", dtype=self.dtype,
                     name=f"down{i}_conv",
-                )(h * m[..., None].astype(self.dtype))
+                )(h * m[..., None].astype(self.dtype)).astype(carry)
 
         m = masks[-1]
         for i in range(cfg.num_mid_blocks):
             h = resnet_cls(
-                cfg.channels[-1], dtype=self.dtype, masked_stats=masked_norm,
+                cfg.channels[-1], dtype=self.dtype, masked_stats=masked_norm, f32_stats=f32_stats,
+                f32_carry=f32_carry,
                 name=f"mid{i}_resnet",
             )(h, m, t_emb)
             h = run_blocks(h, m, f"mid{i}", cfg.channels[-1])
@@ -394,25 +433,29 @@ class Decoder(nn.Module):
             m = masks.pop()
             h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = resnet_cls(
-                out_ch, dtype=self.dtype, masked_stats=masked_norm,
+                out_ch, dtype=self.dtype, masked_stats=masked_norm, f32_stats=f32_stats,
+                f32_carry=f32_carry,
                 name=f"up{i}_resnet",
             )(h, m, t_emb)
             h = run_blocks(h, m, f"up{i}", out_ch)
             is_last = i == len(up_channels) - 2
             if not is_last:
-                h = Upsample1D(out_ch, dtype=self.dtype, name=f"up{i}_upsample")(h * m[..., None].astype(self.dtype))
+                h = Upsample1D(out_ch, dtype=self.dtype, name=f"up{i}_upsample")(h * m[..., None].astype(self.dtype)).astype(carry)
             else:
                 h = nn.Conv(
                     out_ch, (3,), padding="SAME", dtype=self.dtype,
                     name=f"up{i}_conv",
-                )(h * m[..., None].astype(self.dtype))
+                )(h * m[..., None].astype(self.dtype)).astype(carry)
 
         h = Block1D(
-            up_channels[-1], dtype=self.dtype, masked_stats=masked_norm,
+            up_channels[-1], dtype=self.dtype, masked_stats=masked_norm, f32_stats=f32_stats,
+                f32_carry=f32_carry,
             name="final_block",
         )(h, mask)
-        # final projection in fp32: the velocity output feeds fp32 ODE math
-        out = nn.Conv(self.out_channels, (1,), name="final_proj")(
-            h.astype(jnp.float32) * mask[..., None]
-        )
+        # final projection in fp32: the velocity output feeds fp32 ODE math.
+        # precision=HIGHEST keeps it true fp32 on the TPU MXU (DEFAULT
+        # truncates fp32 matmul inputs to bf16 — see models/matcha.py)
+        out = nn.Conv(
+            self.out_channels, (1,), name="final_proj", precision="highest"
+        )(h.astype(jnp.float32) * mask[..., None])
         return out * mask[..., None]

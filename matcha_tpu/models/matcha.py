@@ -40,11 +40,21 @@ def log_prior_scores(mu_x: jax.Array, y_fine: jax.Array) -> jax.Array:
 
     Expanded into y², mu·y, mu² terms so the cross term is one MXU matmul
     (reference: matcha_tts.py:184-201).  Inputs must be fp32.
+
+    precision=HIGHEST is load-bearing, not cosmetic: at JAX's DEFAULT
+    precision a TPU fp32 matmul truncates its inputs to single-pass bf16
+    on the MXU — exactly the "bf16 matmuls caused prior loss explosions"
+    failure the reference pins to highest matmul precision (reference:
+    documentation/PROBLEMS.md item 1, prior_problem.md).  HIGHEST makes
+    the MXU compose full-fp32 products; the matmul is tiny next to the
+    U-Net so the cost is noise.
     """
     y_sq = -0.5 * jnp.sum(jnp.square(y_fine), axis=-1)  # (B, Ty)
     mu_sq = -0.5 * jnp.sum(jnp.square(mu_x), axis=-1)  # (B, Tx)
     cross = jnp.einsum(
-        "bic,bjc->bij", mu_x, y_fine, preferred_element_type=jnp.float32
+        "bic,bjc->bij", mu_x, y_fine,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y_sq[:, None, :] + cross + mu_sq[:, :, None]
 

@@ -43,6 +43,9 @@ class ChannelLayerNorm(nn.Module):
 
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    # autocast semantics (EncoderConfig.fp32_residual): norm outputs stay
+    # fp32 so the post-norm residual carry is never bf16-rounded
+    f32_out: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -52,7 +55,8 @@ class ChannelLayerNorm(nn.Module):
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
         beta = self.param("beta", nn.initializers.zeros, (x.shape[-1],))
-        return (y * gamma + beta).astype(self.dtype)
+        out_dtype = jnp.float32 if self.f32_out else self.dtype
+        return (y * gamma + beta).astype(out_dtype)
 
 
 class ConvSiluNorm(nn.Module):
@@ -67,6 +71,7 @@ class ConvSiluNorm(nn.Module):
     n_layers: int
     p_dropout: float
     dtype: jnp.dtype = jnp.float32
+    f32_carry: bool = False
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
@@ -78,7 +83,7 @@ class ConvSiluNorm(nn.Module):
                 self.hidden_channels, (self.kernel_size,), padding="SAME",
                 dtype=self.dtype,
             )(h * m)
-            h = ChannelLayerNorm(dtype=self.dtype)(h)
+            h = ChannelLayerNorm(dtype=self.dtype, f32_out=self.f32_carry)(h)
             h = nn.silu(h)
             h = nn.Dropout(self.p_dropout)(h, deterministic=deterministic)
         proj = nn.Conv(
@@ -214,6 +219,7 @@ class TransformerEncoder(nn.Module):
     rope_max_len: int
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
+    f32_carry: bool = False
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
@@ -229,7 +235,7 @@ class TransformerEncoder(nn.Module):
                 attn_backend=self.attn_backend,
             )(x, mask, deterministic=deterministic)
             y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
-            x = ChannelLayerNorm(dtype=self.dtype)(x + y)
+            x = ChannelLayerNorm(dtype=self.dtype, f32_out=self.f32_carry)(x + y)
             y = ConvFFN(
                 filter_channels=self.filter_channels,
                 out_channels=self.hidden_channels,
@@ -238,7 +244,7 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
             )(x, mask, deterministic=deterministic)
             y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
-            x = ChannelLayerNorm(dtype=self.dtype)(x + y)
+            x = ChannelLayerNorm(dtype=self.dtype, f32_out=self.f32_carry)(x + y)
         return x * m
 
 
@@ -252,6 +258,7 @@ class DurationPredictor(nn.Module):
 
     cfg: DurationPredictorConfig
     dtype: jnp.dtype = jnp.float32
+    f32_carry: bool = False
 
     @nn.compact
     def __call__(self, x, mask, spk_emb, *, deterministic: bool = True):
@@ -274,12 +281,16 @@ class DurationPredictor(nn.Module):
                 fc, (self.cfg.kernel_size,), padding="SAME", dtype=self.dtype
             )(h * m)
             h = nn.relu(h)
-            h = ChannelLayerNorm(dtype=self.dtype)(h)
+            h = ChannelLayerNorm(dtype=self.dtype, f32_out=self.f32_carry)(h)
             h = h * gamma + beta
             h = nn.Dropout(self.cfg.p_dropout)(h, deterministic=deterministic)
         # the duration head runs fp32: log-durations feed a Huber loss whose
-        # sub-0.1 differences vanish in bf16
-        logw = nn.Conv(1, (1,))(h.astype(jnp.float32) * mask[..., None])
+        # sub-0.1 differences vanish in bf16.  precision=HIGHEST: a TPU
+        # fp32 conv at DEFAULT truncates to bf16 on the MXU (see
+        # log_prior_scores in models/matcha.py)
+        logw = nn.Conv(1, (1,), precision="highest")(
+            h.astype(jnp.float32) * mask[..., None]
+        )
         return logw[..., 0] * mask
 
 
@@ -309,14 +320,19 @@ class TextEncoder(nn.Module):
             logw: (B, Tx) log-durations (training target is log(2 + d)).
         """
         c = self.cfg.n_channels
+        # autocast-style fp32 carry (EncoderConfig.fp32_residual): the
+        # embedding/residual/norm stream stays fp32 under bf16 compute;
+        # conv/dense modules still cast their inputs down per-module
+        f32_carry = self.cfg.fp32_residual and self.dtype != jnp.float32
+        carry = jnp.float32 if f32_carry else self.dtype
         emb = nn.Embed(
             self.n_vocab,
             c,
             embedding_init=nn.initializers.normal(stddev=c**-0.5),
             name="emb",
-            dtype=self.dtype,
+            dtype=carry,
         )
-        x = emb(x_ids) * jnp.asarray(math.sqrt(c), self.dtype)
+        x = emb(x_ids) * jnp.asarray(math.sqrt(c), carry)
 
         if self.cfg.prenet:
             x = ConvSiluNorm(
@@ -327,11 +343,12 @@ class TextEncoder(nn.Module):
                 p_dropout=self.cfg.p_dropout,
                 name="prenet",
                 dtype=self.dtype,
+                f32_carry=f32_carry,
             )(x, x_mask, deterministic=deterministic)
 
         t = x.shape[1]
         spk_tiled = jnp.broadcast_to(
-            spk_enc[:, None, :].astype(self.dtype),
+            spk_enc[:, None, :].astype(carry),
             (x.shape[0], t, self.spk_emb_dim),
         )
         x = jnp.concatenate([x, spk_tiled], axis=-1)
@@ -347,21 +364,29 @@ class TextEncoder(nn.Module):
             name="encoder",
             dtype=self.dtype,
             attn_backend=self.attn_backend,
+            f32_carry=f32_carry,
         )(x, x_mask, deterministic=deterministic)
 
-        # the mel head runs fp32: mu_x feeds the fp32 MAS/prior island
-        h = nn.Conv(c, (1,), name="proj_m_hidden")(x.astype(jnp.float32))
+        # the mel head runs fp32: mu_x feeds the fp32 MAS/prior island.
+        # precision=HIGHEST keeps these convs TRUE fp32 on the TPU MXU
+        # (DEFAULT would truncate to bf16 — models/matcha.py)
+        h = nn.Conv(c, (1,), name="proj_m_hidden", precision="highest")(
+            x.astype(jnp.float32)
+        )
         h = nn.silu(h)
         mu_x = nn.Conv(
             self.cfg.n_feats,
             (1,),
             kernel_init=nn.initializers.xavier_uniform(),
             name="proj_m_out",
+            precision="highest",
         )(h)
         mu_x = mu_x * x_mask[..., None]
 
         # The duration branch must not shape the acoustic representation.
-        logw = DurationPredictor(self.dp_cfg, name="proj_w", dtype=self.dtype)(
+        logw = DurationPredictor(
+            self.dp_cfg, name="proj_w", dtype=self.dtype, f32_carry=f32_carry
+        )(
             jax.lax.stop_gradient(x), x_mask, spk_dur, deterministic=deterministic
         )
         return mu_x, logw

@@ -4,6 +4,13 @@
 # full tier runs nightly in CI.  Selection = every suite whose slowest case
 # is < ~2 s (measured with --durations; model-forward/trainer/server suites
 # are excluded).
+#
+# Hardware tiers (real TPU, run before a release or kernel change):
+#   MATCHA_TESTS_TPU=1 python -m pytest tests/test_mas_pallas.py \
+#       tests/test_attention.py -q          # per-kernel compiled Mosaic
+#   MATCHA_TESTS_TPU=1 python -m pytest tests/test_tpu_e2e.py -q
+#       # FULL production graph on the chip: bf16 synthesise + one train
+#       # step vs a CPU fp32 oracle subprocess (mel MCD + loss bars)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
