@@ -114,7 +114,11 @@ def run_leg(max_batch: int) -> dict:
             str(1 << i) for i in range((max_batch).bit_length())
         ),
         WARMUP_FULL="0",
-        PYTHONPATH=str(REPO),
+        # PREPEND the repo: clobbering PYTHONPATH would drop the ambient
+        # axon sitecustomize dir that registers the TPU plugin (dev-notes)
+        PYTHONPATH=os.pathsep.join(
+            p for p in (str(REPO), os.environ.get("PYTHONPATH", "")) if p
+        ),
         JAX_CACHE_DIR="/tmp/jax_cache",
     )
     log = open(f"/tmp/server_ab_b{max_batch}.log", "w")
