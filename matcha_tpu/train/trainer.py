@@ -24,9 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from matcha_tpu.data.collate import epoch_batches
+from matcha_tpu.data.datamodule import TextMelDataModule
 from matcha_tpu.data.dataset import TextMelDataset
-from matcha_tpu.data.sampler import BucketedBatchSampler
 from matcha_tpu.models.config import MatchaConfig
 from matcha_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from matcha_tpu.train.checkpoint import (
@@ -107,9 +106,6 @@ class Trainer:
         self.model_cfg = model_cfg
         self.opt_cfg = opt_cfg
         self.cfg = trainer_cfg
-        self.train_ds = train_dataset
-        self.valid_ds = valid_dataset
-        self.text_bucket = text_bucket
 
         try:  # persistent compilation cache across runs
             jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -152,28 +148,15 @@ class Trainer:
 
         batch_multiple = self.mesh.shape[_DATA] if self.mesh else 1
 
-        lengths = [train_dataset.mel_length(i) for i in range(len(train_dataset))]
-        self.sampler = BucketedBatchSampler(
-            lengths,
+        self.dm = TextMelDataModule(
+            train_dataset,
+            valid_dataset,
             max_frames_per_batch=max_frames_per_batch,
             len_bucket=len_bucket,
-            seed=trainer_cfg.seed,
+            text_bucket=text_bucket,
             batch_multiple=batch_multiple,
+            seed=trainer_cfg.seed,
         )
-        if valid_dataset is not None and len(valid_dataset):
-            v_lengths = [
-                valid_dataset.mel_length(i) for i in range(len(valid_dataset))
-            ]
-            self.valid_sampler = BucketedBatchSampler(
-                v_lengths,
-                max_frames_per_batch=max_frames_per_batch,
-                len_bucket=len_bucket,
-                jitter=0.0,
-                seed=trainer_cfg.seed,
-                batch_multiple=batch_multiple,
-            )
-        else:
-            self.valid_sampler = None
         self.trainable_mask = trainable_mask
         self.tx = build_optimizer(opt_cfg, trainable_mask=trainable_mask)
         self.param_specs = None
@@ -207,30 +190,24 @@ class Trainer:
 
     def set_datasets(self, train_dataset, valid_dataset=None):
         """Swap datasets (e.g. speaker-filtered) and rebuild the samplers."""
-        self.train_ds = train_dataset
-        self.valid_ds = valid_dataset
-        lengths = [train_dataset.mel_length(i) for i in range(len(train_dataset))]
-        self.sampler = BucketedBatchSampler(
-            lengths,
-            max_frames_per_batch=self.sampler.max_frames,
-            len_bucket=self.sampler.len_bucket,
-            seed=self.cfg.seed,
-            batch_multiple=self.sampler.batch_multiple,
-        )
-        if valid_dataset is not None and len(valid_dataset):
-            v_lengths = [
-                valid_dataset.mel_length(i) for i in range(len(valid_dataset))
-            ]
-            self.valid_sampler = BucketedBatchSampler(
-                v_lengths,
-                max_frames_per_batch=self.sampler.max_frames,
-                len_bucket=self.sampler.len_bucket,
-                jitter=0.0,
-                seed=self.cfg.seed,
-                batch_multiple=self.sampler.batch_multiple,
-            )
-        else:
-            self.valid_sampler = None
+        self.dm = self.dm.replace_datasets(train_dataset, valid_dataset)
+
+    # compatibility aliases onto the data module's internals
+    @property
+    def train_ds(self):
+        return self.dm.train_ds
+
+    @property
+    def valid_ds(self):
+        return self.dm.valid_ds
+
+    @property
+    def sampler(self):
+        return self.dm.train_sampler
+
+    @property
+    def valid_sampler(self):
+        return self.dm.valid_sampler
 
     def init_state(self, resume_from: str | None = None) -> TrainState:
         """Fresh or resumed train state, with the reference's load hooks:
@@ -387,9 +364,7 @@ class Trainer:
         while not done and (self.cfg.max_epochs < 0 or epoch < self.cfg.max_epochs):
             t_epoch = time.time()
             losses = []
-            for dev_batch in self._prefetch(
-                epoch_batches(self.train_ds, self.sampler, epoch, self.text_bucket)
-            ):
+            for dev_batch in self._prefetch(self.dm.train_batches(epoch)):
                 state, metrics = self.train_step(state, dev_batch, rng)
                 # track the step host-side: int(state.step) would block on
                 # the just-dispatched step every iteration, serializing the
@@ -418,7 +393,7 @@ class Trainer:
             )
 
             if (
-                self.valid_sampler is not None
+                self.dm.has_valid
                 and (epoch + 1) % self.cfg.check_val_every_n_epoch == 0
             ):
                 self.validate(state, epoch, rng)
@@ -436,9 +411,7 @@ class Trainer:
 
     def validate(self, state: TrainState, epoch: int, rng):
         vals = []
-        for i, batch in enumerate(
-            epoch_batches(self.valid_ds, self.valid_sampler, 0, self.text_bucket)
-        ):
+        for i, batch in enumerate(self.dm.valid_batches()):
             # fold the batch index so CFM's sampled (t, noise) differ per
             # batch — a constant key would correlate the val-loss estimator
             m = self.eval_step(state.params, self._put(batch), jax.random.fold_in(rng, i))

@@ -181,3 +181,61 @@ class TestRepeatFillWeights:
         for plan in sampler.create_batches(0):
             batch = collate(ds, plan, text_bucket=16)
             assert batch.weights[: plan.n_real].min() == 1.0
+
+
+class TestDataModule:
+    """Standalone facade over datasets + samplers + iterators (reference
+    TextMelDataModule, text_mel_datamodule.py:260-352)."""
+
+    def _dm(self, corpus, **kw):
+        from matcha_tpu.data.datamodule import TextMelDataModule
+
+        filelist, mel_dir = corpus
+        kw.setdefault("max_frames_per_batch", 2048)
+        kw.setdefault("text_bucket", 16)
+        return TextMelDataModule.from_files(
+            filelist, mel_dir, valid_filelist_path=filelist, **kw
+        )
+
+    def test_from_files_builds_both_splits(self, corpus):
+        dm = self._dm(corpus)
+        assert dm.has_valid
+        assert len(dm.train_ds) == 40 and len(dm.valid_ds) == 40
+
+    def test_train_batches_match_sampler_plan(self, corpus):
+        dm = self._dm(corpus)
+        batches = list(dm.train_batches(0))
+        assert len(batches) == len(dm.train_sampler.create_batches(0))
+
+    def test_valid_batches_deterministic(self, corpus):
+        dm = self._dm(corpus)
+        a = [b.x.shape for b in dm.valid_batches()]
+        b = [b.x.shape for b in dm.valid_batches()]
+        assert a == b and len(a) > 0
+
+    def test_missing_valid_filelist_is_train_only(self, corpus):
+        from matcha_tpu.data.datamodule import TextMelDataModule
+
+        filelist, mel_dir = corpus
+        dm = TextMelDataModule.from_files(
+            filelist, mel_dir, valid_filelist_path=None,
+            max_frames_per_batch=2048,
+        )
+        assert not dm.has_valid
+        assert list(dm.valid_batches()) == []
+
+    def test_replace_datasets_keeps_knobs(self, corpus):
+        dm = self._dm(corpus, batch_multiple=4, seed=7)
+        sub = dm.train_ds.filter_speaker(1)
+        dm2 = dm.replace_datasets(sub, None)
+        assert dm2.batch_multiple == 4 and dm2.seed == 7
+        assert dm2.train_sampler.batch_multiple == 4
+        assert len(dm2.train_ds) == len(sub) and not dm2.has_valid
+
+    def test_shape_set_covers_emitted_batches(self, corpus):
+        dm = self._dm(corpus)
+        shapes = dm.shape_set()
+        for b in dm.train_batches(0):
+            assert (b.y.shape[0], b.y.shape[1]) in shapes
+        for b in dm.valid_batches():
+            assert (b.y.shape[0], b.y.shape[1]) in shapes
