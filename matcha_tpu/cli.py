@@ -47,13 +47,41 @@ def load_synthesizer(
 
     tree, cfg = load_checkpoint(checkpoint_path)
     vocos_params = None
+    vocos_cfg = VocosConfig()
     if vocoder_path:
         import pickle
 
         with open(vocoder_path, "rb") as f:
             vocos_params = pickle.load(f)
+        vocos_cfg = infer_vocos_config(vocos_params)
     return MatchaSynthesizer(
-        cfg, tree["params"], vocos_params, VocosConfig(), **synth_kwargs
+        cfg, tree["params"], vocos_params, vocos_cfg, **synth_kwargs
+    )
+
+
+def infer_vocos_config(params) -> "VocosConfig":
+    """Read the VocosConfig off a converted param-tree pickle's shapes.
+
+    The pickle (tools/convert_vocos.py) stores only params, so the widths
+    come from the tree itself: embed kernel (7, input_channels, dim),
+    pwconv1 kernel (dim, intermediate_dim), head out kernel
+    (dim, n_fft + 2), convnext{i} count = num_layers.  Keeps any-width
+    vocoders (tests, distilled variants) loadable without a sidecar
+    config; defaults cover the non-shape fields (hop, sample rate).
+    """
+    from matcha_tpu.vocoder.vocos import VocosConfig
+
+    bb = params["backbone"]
+    k_embed = bb["embed"]["kernel"].shape  # (7, in_ch, dim)
+    n_layers = sum(1 for k in bb if k.startswith("convnext"))
+    k_pw1 = bb["convnext0"]["pwconv1"]["kernel"].shape  # (dim, intermediate)
+    n_fft = params["head"]["out"]["kernel"].shape[-1] - 2
+    return VocosConfig(
+        input_channels=int(k_embed[1]),
+        dim=int(k_embed[2]),
+        intermediate_dim=int(k_pw1[1]),
+        num_layers=n_layers,
+        n_fft=int(n_fft),
     )
 
 

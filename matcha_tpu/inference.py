@@ -871,6 +871,7 @@ class MatchaSynthesizer:
         full: bool = False,
         batch_sizes: Sequence[int] = (1,),
         fused: bool = False,
+        on_size_ready=None,
     ):
         """Pre-compile serving programs.
 
@@ -888,6 +889,12 @@ class MatchaSynthesizer:
         power-of-2 group ladder (e.g. (1, 2, 4, 8)) so grouped requests hit
         pre-compiled programs too (synthesise_batch pads groups to this
         ladder).
+
+        ``on_size_ready(b)``: progressive-warmup hook, called after EVERY
+        program for group size ``b`` (bucket pairs, the fused ladder when
+        ``fused``, and — after the first size only — the one-time D2H pull)
+        is compiled.  At that instant a server may safely admit groups
+        ≤ ``b``; full-ladder callers just ignore it.
         """
         if self.mesh is not None:
             # batched serving pads every group to a device multiple — warm
@@ -903,19 +910,18 @@ class MatchaSynthesizer:
                 expect = min(expect, self.mel_fine_buckets[-1])  # clamp: every
                 # text bucket gets a warm pair even past the mel ladder top
                 pairs.append((tx, pick_bucket(expect, self.mel_fine_buckets)))
-        for b in batch_sizes:
+        for i, b in enumerate(batch_sizes):
             for tx, yf in pairs:
                 self._warm_pair(tx, yf, n_timesteps, solver, b=b)
-        if fused:
-            # warm EVERY fused bucket the serving pace range can predict
-            # (speed clamp [0.5, 10] → length_scale [0.1, 2.0], times the
-            # voice corrections): the pace-aware prediction means a
-            # length_scale=2.0 request asks for a bigger bucket than a
-            # pace-1.0 one, and an unwarmed fused program would compile
-            # inline mid-serving.  ~3 rungs per text bucket on the default
-            # geometric ladder; the persistent jax cache makes repeat boots
-            # free.
-            for b in batch_sizes:
+            if fused:
+                # warm EVERY fused bucket the serving pace range can predict
+                # (speed clamp [0.5, 10] → length_scale [0.1, 2.0], times the
+                # voice corrections): the pace-aware prediction means a
+                # length_scale=2.0 request asks for a bigger bucket than a
+                # pace-1.0 one, and an unwarmed fused program would compile
+                # inline mid-serving.  ~3 rungs per text bucket on the
+                # default geometric ladder; the persistent jax cache makes
+                # repeat boots free.
                 for tx in self.text_buckets:
                     for yf in self.fused_warm_buckets(tx):
                         args = self._synthetic_stage_a_args(tx, b)
@@ -928,17 +934,21 @@ class MatchaSynthesizer:
                             solver=solver,
                         )
                         jax.block_until_ready(out)
-        # Warm the D2H path too: the FIRST device→host pull of a process can
-        # be pathologically slow on remote transports (measured through the
-        # dev tunnel: 2 min bare, 9 min after the ~120 MB param upload — the
-        # relay syncs state lazily on first pull).  Every request performs
-        # D2H (durations, waveform), so pay that one-time cost HERE, before
-        # /health flips ready, never on request #1.
-        probe = self._encode_jit(
-            self.params,
-            *self._synthetic_stage_a_args(self.text_buckets[0], batch_sizes[0]),
-        )
-        np.asarray(probe[1])
+            if i == 0:
+                # Warm the D2H path too: the FIRST device→host pull of a
+                # process can be pathologically slow on remote transports
+                # (measured through the dev tunnel: 2 min bare, 9 min after
+                # the ~120 MB param upload — the relay syncs state lazily on
+                # first pull).  Every request performs D2H (durations,
+                # waveform), so pay that one-time cost HERE — before the
+                # first on_size_ready/ready flip, never on request #1.
+                probe = self._encode_jit(
+                    self.params,
+                    *self._synthetic_stage_a_args(self.text_buckets[0], b),
+                )
+                np.asarray(probe[1])
+            if on_size_ready is not None:
+                on_size_ready(b)
 
 
 def trim_trailing_silence(audio: np.ndarray, silence_threshold_db: float = -60.0) -> np.ndarray:

@@ -78,6 +78,12 @@ class RequestBatcher:
         self._active_lock = threading.Lock()
         self._run_token = 0
         self.wedge_threshold_s = float(_os.environ.get("BATCHER_WEDGE_S", "300"))
+        # progressive warmup: while larger group programs are still
+        # compiling, only groups ≤ cap are gathered so every dispatched
+        # group hits an already-warmed executable (None = uncapped).  A
+        # plain attribute: reads/writes are atomic under the GIL and the
+        # gather loop re-reads it once per group.
+        self._group_cap: int | None = None
         # requests whose (steps, solver) didn't match the group being
         # gathered; they seed the NEXT group (only touched by the loop thread)
         self._deferred: deque[_Pending] = deque()
@@ -105,6 +111,11 @@ class RequestBatcher:
         self.q.put(item)
         return item.future
 
+    def set_group_cap(self, n: int | None):
+        """Cap gathered group size (progressive warmup); ``None`` removes
+        the cap.  Raising the cap applies to the next gathered group."""
+        self._group_cap = None if n is None else max(1, int(n))
+
     @property
     def wedged(self) -> bool:
         with self._active_lock:
@@ -131,7 +142,12 @@ class RequestBatcher:
             group = [first]
             key = first.group_key()
             deadline = _time.monotonic() + self.max_wait
-            while len(group) < self.max_batch:
+            cap = (
+                self.max_batch
+                if self._group_cap is None
+                else min(self.max_batch, self._group_cap)
+            )
+            while len(group) < cap:
                 # drain compatible items parked by earlier gathers first
                 match = next(
                     (i for i, it in enumerate(self._deferred) if it.group_key() == key),

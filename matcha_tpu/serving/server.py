@@ -78,6 +78,7 @@ class TTSService:
     def __init__(self, synthesizer, use_batcher: bool = True):
         self.synth = synthesizer
         self.ready = False
+        self.warming = True  # full ladder not yet compiled (health reports it)
         self.batcher = None
         # SERVE_FUSED=1: serial requests go through the single-dispatch
         # fused program (half the per-request fixed dispatch cost — the
@@ -116,12 +117,38 @@ class TTSService:
             int(s)
             for s in os.environ.get("WARMUP_BATCH_SIZES", "1").split(",")
         )
-        self.synth.warmup(
-            full=os.environ.get("WARMUP_FULL", "0") == "1",
-            batch_sizes=sizes,
-            fused=self.fused,
-        )
+        full = os.environ.get("WARMUP_FULL", "0") == "1"
+        # WARMUP_PROGRESSIVE=1: flip /health ready as soon as the FIRST
+        # group size's programs (+ the one-time D2H pull) are warm, and
+        # admit larger groups as their programs finish compiling — instead
+        # of holding 503 for the whole ladder (22–32 min cold through the
+        # dev tunnel, documentation/performance.md).  The warmup-covers-
+        # serving invariant holds at every instant: the batcher's group cap
+        # only ever admits group sizes whose programs are already compiled
+        # (health reports "warming" until the full ladder is done).
+        if (
+            os.environ.get("WARMUP_PROGRESSIVE", "0") == "1"
+            and self.batcher is not None
+        ):
+            self.batcher.set_group_cap(1)
+
+            def on_size_ready(b: int):
+                self.batcher.set_group_cap(b)
+                if not self.ready:
+                    print(f"progressive warmup: serving (group cap {b})")
+                self.ready = True
+
+            self.synth.warmup(
+                full=full,
+                batch_sizes=sizes,
+                fused=self.fused,
+                on_size_ready=on_size_ready,
+            )
+            self.batcher.set_group_cap(None)
+        else:
+            self.synth.warmup(full=full, batch_sizes=sizes, fused=self.fused)
         self.ready = True
+        self.warming = False
 
     @staticmethod
     def _parse_common(body: dict, max_text: int = None) -> dict:
@@ -346,11 +373,17 @@ def make_handler(service: TTSService):
             pass
 
         def _send(self, code: int, body: bytes, ctype: str = "application/json"):
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            try:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except (BrokenPipeError, ConnectionResetError):
+                # client hung up mid-response (short-timeout health probes
+                # do this constantly during warmup) — not a server error;
+                # don't let ThreadingHTTPServer print a full traceback
+                self.close_connection = True
 
         def do_GET(self):
             if self.path == "/health":
@@ -358,7 +391,14 @@ def make_handler(service: TTSService):
                     # flips the Docker HEALTHCHECK so the pod gets restarted
                     self._send(503, b'{"status":"wedged"}')
                 elif service.ready:
-                    self._send(200, b'{"status":"ok"}')
+                    # "warming": progressive warmup is serving at a reduced
+                    # group cap while the rest of the ladder compiles
+                    self._send(
+                        200,
+                        b'{"status":"ok","warming":true}'
+                        if service.warming
+                        else b'{"status":"ok"}',
+                    )
                 else:
                     self._send(503, b'{"status":"loading"}')
             else:

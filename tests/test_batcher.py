@@ -62,6 +62,31 @@ def test_compatible_requests_share_one_batch():
         b.shutdown()
 
 
+def test_group_cap_limits_group_size():
+    """Progressive warmup: a capped batcher never gathers a group larger
+    than the cap, so every dispatch hits an already-warmed program; removing
+    the cap restores max_batch gathering."""
+    fake = FakeSynth(call_duration=0.02)
+    b = make_batcher(fake)  # max_batch=4
+    try:
+        b.set_group_cap(2)
+        futs = [b.submit([1], speaker=0) for _ in range(6)]
+        for f in futs:
+            f.result(timeout=5)
+        assert all(len(c["ids"]) <= 2 for c in fake.calls)
+        assert sum(len(c["ids"]) for c in fake.calls) == 6
+
+        b.set_group_cap(None)
+        fake.calls.clear()
+        futs = [b.submit([1], speaker=0) for _ in range(4)]
+        for f in futs:
+            f.result(timeout=5)
+        # uncapped: the same burst gathers into one max_batch group again
+        assert len(fake.calls[0]["ids"]) == 4
+    finally:
+        b.shutdown()
+
+
 def test_mixed_key_arrival_does_not_delay_pending_group():
     """Group A (2x midpoint/4) is gathering; an euler/8 request arrives inside
     the window.  The incompatible request must not run inline: group A must

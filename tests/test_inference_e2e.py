@@ -251,6 +251,28 @@ class TestWarmupLadder:
         # text bucket 64 (prev 32): mel 64 unreachable? 64 > 32 → reachable
         assert (64, 64) in pairs
 
+    def test_on_size_ready_walks_the_ladder(self, synth):
+        """Progressive-warmup hook: called once per batch size, in ladder
+        order, with that size's programs already compiled at call time."""
+        seen = []
+
+        def record(b):
+            # the b-sized encode program must already be in the jit cache:
+            # warming it again must not add a cache entry
+            n = synth._encode_jit._cache_size()
+            synth._warm_pair(
+                synth.text_buckets[0],
+                synth.mel_fine_buckets[0],
+                2,
+                "midpoint",
+                b=b,
+            )
+            assert synth._encode_jit._cache_size() == n
+            seen.append(b)
+
+        synth.warmup(n_timesteps=2, batch_sizes=(1, 2), on_size_ready=record)
+        assert seen == [1, 2]
+
     @pytest.mark.slow
     def test_full_warmup_means_no_new_compiles(self, synth):
         synth.warmup(n_timesteps=2, full=True)

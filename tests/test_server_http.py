@@ -113,6 +113,78 @@ class TestHttpServer:
         except urllib.error.HTTPError as exc:
             assert exc.code == 404
 
+    def test_health_reports_warming(self, server):
+        base, service = server
+        old = service.warming
+        try:
+            service.warming = True
+            body = json.loads(urllib.request.urlopen(f"{base}/health").read())
+            assert body == {"status": "ok", "warming": True}
+            service.warming = False
+            body = json.loads(urllib.request.urlopen(f"{base}/health").read())
+            assert body == {"status": "ok"}
+        finally:
+            service.warming = old
+
+
+class TestProgressiveWarmup:
+    """WARMUP_PROGRESSIVE=1: /health flips ready after the first group
+    size's programs are warm, the batcher's group cap follows the warmed
+    ladder, and the cap lifts when the full ladder is done."""
+
+    def test_ready_flips_after_first_size_and_cap_tracks_ladder(
+        self, monkeypatch
+    ):
+        events = []
+        service = None
+
+        class StagedSynth:
+            def warmup(
+                self, full=False, batch_sizes=(1,), fused=False,
+                on_size_ready=None,
+            ):
+                for b in batch_sizes:
+                    # snapshot what a request arriving DURING this size's
+                    # warm would see: ready state + admitted group cap
+                    events.append(
+                        (b, service.ready, service.batcher._group_cap)
+                    )
+                    if on_size_ready is not None:
+                        on_size_ready(b)
+
+        monkeypatch.setenv("WARMUP_PROGRESSIVE", "1")
+        monkeypatch.setenv("WARMUP_BATCH_SIZES", "1,2,4")
+        service = TTSService(StagedSynth(), use_batcher=True)
+        try:
+            assert not service.ready and service.warming
+            service.warmup()
+            # size 1 warmed while unready/cap 1; later sizes serve capped at
+            # the previously-completed size
+            assert events == [(1, False, 1), (2, True, 1), (4, True, 2)]
+            assert service.ready and not service.warming
+            assert service.batcher._group_cap is None
+        finally:
+            service.batcher.shutdown()
+
+    def test_non_progressive_default_unchanged(self, monkeypatch):
+        monkeypatch.delenv("WARMUP_PROGRESSIVE", raising=False)
+        monkeypatch.setenv("WARMUP_BATCH_SIZES", "1,2")
+        calls = []
+
+        class PlainSynth:
+            def warmup(self, full=False, batch_sizes=(1,), fused=False):
+                # no on_size_ready kwarg: the default path must not pass it
+                calls.append(batch_sizes)
+
+        service = TTSService(PlainSynth(), use_batcher=True)
+        try:
+            service.warmup()
+            assert calls == [(1, 2)]
+            assert service.ready and not service.warming
+            assert service.batcher._group_cap is None
+        finally:
+            service.batcher.shutdown()
+
 
 @pytest.fixture(scope="module")
 def mesh_server():

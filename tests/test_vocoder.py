@@ -68,3 +68,29 @@ class TestVocosModule:
         wav = Vocos(cfg).apply({"params": params}, mel)
         assert wav.shape == (2, 11 * cfg.hop_length)
         assert np.isfinite(np.asarray(wav)).all()
+
+
+class TestInferVocosConfig:
+    def test_round_trips_nondefault_widths(self):
+        """load_synthesizer reads the VocosConfig off the pickle's shapes —
+        any-width vocoder params (tests, distilled variants) must load
+        without a sidecar config."""
+        from matcha_tpu.cli import infer_vocos_config
+
+        cfg = VocosConfig(
+            input_channels=100, dim=32, intermediate_dim=64, num_layers=3,
+            n_fft=512,
+        )
+        params = init_vocos_params(jax.random.PRNGKey(0), cfg)
+        got = infer_vocos_config(params)
+        assert (
+            got.input_channels, got.dim, got.intermediate_dim,
+            got.num_layers, got.n_fft,
+        ) == (100, 32, 64, 3, 512)
+
+    def test_default_config_inferred_exactly(self):
+        from matcha_tpu.cli import infer_vocos_config
+
+        cfg = VocosConfig()
+        params = init_vocos_params(jax.random.PRNGKey(0), cfg)
+        assert infer_vocos_config(params) == cfg
