@@ -87,6 +87,7 @@ class RequestBatcher:
         # requests whose (steps, solver) didn't match the group being
         # gathered; they seed the NEXT group (only touched by the loop thread)
         self._deferred: deque[_Pending] = deque()
+        self._draining = threading.Event()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
@@ -100,6 +101,8 @@ class RequestBatcher:
         solver: str = "midpoint",
         voice_mix: list[tuple[int, float]] | None = None,
     ) -> Future:
+        if self._draining.is_set():
+            raise RuntimeError("server draining; not accepting new requests")
         if self.wedged:
             raise RuntimeError(
                 "synthesis backend wedged (a group has been executing "
@@ -128,6 +131,34 @@ class RequestBatcher:
         if self._pool is not None:
             self._pool.shutdown(wait=False)
 
+    @property
+    def idle(self) -> bool:
+        """No queued, deferred, or executing work."""
+        with self._active_lock:
+            active = bool(self._active)
+        return self.q.empty() and not self._deferred and not active
+
+    def drain(self, timeout_s: float = 30.0) -> bool:
+        """Graceful shutdown: refuse new submissions, let everything already
+        accepted finish, then stop the gather loop.
+
+        Returns True when the drain completed (all accepted futures
+        resolved); False when ``timeout_s`` elapsed with work still in
+        flight (a wedged backend) — the caller should exit anyway and let
+        the orchestrator clean up.  The reference's uvicorn drains HTTP
+        connections on SIGTERM but cuts queued synthesis work; here the
+        queue is explicit, so the drain covers it.
+        """
+        self._draining.set()
+        deadline = _time.monotonic() + max(0.0, timeout_s)
+        while _time.monotonic() < deadline:
+            if self.idle:
+                break
+            _time.sleep(0.05)
+        done = self.idle
+        self.shutdown()
+        return done
+
     # ------------------------------------------------------------------
 
     def _loop(self):
@@ -139,6 +170,16 @@ class RequestBatcher:
                     first = self.q.get(timeout=0.1)
                 except queue.Empty:
                     continue
+            # register the group as active NOW, before gathering: `idle`
+            # (drain) must never observe work that is out of the queue but
+            # not yet in _active.  The wedge timer therefore also counts
+            # gather (≤ max_wait) and pipeline backpressure — if in-flight
+            # groups hold the semaphore past the threshold, the backend IS
+            # wedged, so that is the correct signal.
+            with self._active_lock:
+                self._run_token += 1
+                token = self._run_token
+                self._active[token] = _time.monotonic()
             group = [first]
             key = first.group_key()
             deadline = _time.monotonic() + self.max_wait
@@ -173,7 +214,7 @@ class RequestBatcher:
                     # park it to seed the next group
                     self._deferred.append(nxt)
             if self._pool is None:
-                self._run(group)
+                self._run(group, token)
             else:
                 # bounded pipeline: block gathering only when `pipeline`
                 # groups are already in flight (backpressure, not a queue).
@@ -187,33 +228,31 @@ class RequestBatcher:
                         break
                 if acquired:
                     try:
-                        self._pool.submit(self._run_and_release, group)
+                        self._pool.submit(self._run_and_release, group, token)
                         continue
                     except RuntimeError as exc:  # pool already shut down
                         self._inflight.release()
-                        self._fail_group(group, exc)
+                        self._fail_group(group, token, exc)
                         continue
                 self._fail_group(
-                    group, RuntimeError("batcher shut down before dispatch")
+                    group, token,
+                    RuntimeError("batcher shut down before dispatch"),
                 )
 
-    @staticmethod
-    def _fail_group(group: list[_Pending], exc: Exception):
+    def _fail_group(self, group: list[_Pending], token: int, exc: Exception):
+        with self._active_lock:
+            self._active.pop(token, None)
         for g in group:
             if not g.future.done():
                 g.future.set_exception(exc)
 
-    def _run_and_release(self, group: list[_Pending]):
+    def _run_and_release(self, group: list[_Pending], token: int):
         try:
-            self._run(group)
+            self._run(group, token)
         finally:
             self._inflight.release()
 
-    def _run(self, group: list[_Pending]):
-        with self._active_lock:
-            self._run_token += 1
-            token = self._run_token
-            self._active[token] = _time.monotonic()
+    def _run(self, group: list[_Pending], token: int):
         try:
             results = self.synth.synthesise_batch(
                 [g.ids for g in group],

@@ -7,7 +7,10 @@ Endpoint surface mirrors the reference FastAPI server
       {"input": str, "voice": "2" | "2(70)+6(30)", "response_format":
        "mp3"|"wav"|"pcm", "speed": float, "steps": int, "solver": str,
        "stream": bool}
-  GET  /health            503 until the model is warm, then 200
+  GET  /health            503 until the model is warm, then 200; 503
+                          {"status":"draining"} after SIGTERM/SIGINT
+                          (graceful drain: in-flight work finishes,
+                          bounded by DRAIN_TIMEOUT_S, default 30 s)
 
 ``"stream": true`` (beyond the reference) returns a chunked response:
 the input is split into sentence segments that micro-batch together and
@@ -79,6 +82,14 @@ class TTSService:
         self.synth = synthesizer
         self.ready = False
         self.warming = True  # full ladder not yet compiled (health reports it)
+        self.draining = False  # SIGTERM received: finish in-flight, refuse new
+        # speech requests currently inside a handler thread (incl. response
+        # encode/write, which outlives the batcher future) — begin_drain
+        # waits for this to hit zero before stopping the serve loop, since
+        # ThreadingHTTPServer's handler threads are daemons the process
+        # exit would otherwise cut mid-write
+        self._active_http = 0
+        self._http_lock = threading.Lock()
         self.batcher = None
         # SERVE_FUSED=1: serial requests go through the single-dispatch
         # fused program (half the per-request fixed dispatch cost — the
@@ -387,7 +398,11 @@ def make_handler(service: TTSService):
 
         def do_GET(self):
             if self.path == "/health":
-                if service.batcher is not None and service.batcher.wedged:
+                if service.draining:
+                    # 503 pulls the pod from the load balancer while
+                    # in-flight requests finish (graceful shutdown)
+                    self._send(503, b'{"status":"draining"}')
+                elif service.batcher is not None and service.batcher.wedged:
                     # flips the Docker HEALTHCHECK so the pod gets restarted
                     self._send(503, b'{"status":"wedged"}')
                 elif service.ready:
@@ -408,9 +423,15 @@ def make_handler(service: TTSService):
             if self.path not in SPEECH_PATHS:
                 self._send(404, b'{"error":"not found"}')
                 return
+            if service.draining:
+                self.close_connection = True
+                self._send(503, b'{"error":"server draining"}')
+                return
             if not service.ready:
                 self._send(503, b'{"error":"model loading"}')
                 return
+            with service._http_lock:
+                service._active_http += 1
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
@@ -453,6 +474,9 @@ def make_handler(service: TTSService):
                     self._send(500, json.dumps({"error": str(exc)}).encode())
                 except OSError:
                     pass
+            finally:
+                with service._http_lock:
+                    service._active_http -= 1
 
     return Handler
 
@@ -506,8 +530,48 @@ def main():
     port = int(os.environ.get("PORT", "8000"))
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
     threading.Thread(target=service.warmup, daemon=True).start()
+    install_graceful_shutdown(service, server)
     print(f"serving on :{port} (warming up)")
     server.serve_forever()
+
+
+def begin_drain(service, http_server, timeout_s: float = 30.0) -> bool:
+    """Graceful shutdown: refuse new requests (health/speech 503), let
+    in-flight synthesis finish, then stop the HTTP serve loop.
+
+    Returns True when all accepted work completed within ``timeout_s``.
+    The reference relies on uvicorn's connection draining; here the
+    synthesis queue is explicit, so the drain waits for it too.
+    """
+    service.draining = True
+    deadline = time.monotonic() + timeout_s
+    done = True
+    if service.batcher is not None:
+        done = service.batcher.drain(timeout_s=timeout_s)
+    # wait for handler threads to finish encoding/writing responses
+    # (they are daemons — process exit would cut them mid-write); covers
+    # serial-mode synthesis too, which runs inside the handler thread
+    while time.monotonic() < deadline and getattr(service, "_active_http", 0):
+        time.sleep(0.05)
+    http_server.shutdown()
+    return done and not getattr(service, "_active_http", 0)
+
+
+def install_graceful_shutdown(service, http_server):
+    import signal
+
+    timeout_s = float(os.environ.get("DRAIN_TIMEOUT_S", "30"))
+
+    def _term(signum, frame):
+        print(f"signal {signum}: draining (timeout {timeout_s:.0f}s)")
+        threading.Thread(
+            target=begin_drain,
+            args=(service, http_server, timeout_s),
+            daemon=True,
+        ).start()
+
+    signal.signal(signal.SIGTERM, _term)
+    signal.signal(signal.SIGINT, _term)
 
 
 if __name__ == "__main__":

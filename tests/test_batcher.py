@@ -295,3 +295,61 @@ class TestPipeline:
             f1.result(timeout=5)
             f2.result(timeout=5)
 
+
+
+class TestDrain:
+    def test_drain_completes_accepted_work_then_refuses(self):
+        """Graceful shutdown: everything accepted before drain() resolves;
+        new submissions are refused; drain returns True."""
+        fake = FakeSynth(call_duration=0.05)
+        b = make_batcher(fake)
+        futs = [b.submit([1, 2], speaker=0) for _ in range(6)]
+        t = {}
+
+        def run():
+            t["done"] = b.drain(timeout_s=10)
+
+        th = threading.Thread(target=run)
+        th.start()
+        th.join(timeout=10)
+        assert t["done"] is True
+        for f in futs:
+            assert f.result(timeout=1) is not None
+        try:
+            b.submit([1], speaker=0)
+            raise AssertionError("submit after drain must raise")
+        except RuntimeError as exc:
+            assert "draining" in str(exc)
+
+    def test_drain_times_out_on_wedged_backend(self):
+        """A synthesis stuck past the timeout: drain returns False (caller
+        exits anyway; the orchestrator reaps the pod)."""
+        fake = FakeSynth(call_duration=3.0)
+        b = make_batcher(fake)
+        b.submit([1], speaker=0)
+        time.sleep(0.1)  # let the group dispatch into the slow call
+        assert b.drain(timeout_s=0.3) is False
+
+    def test_idle_covers_gather_window(self):
+        """A request out of the queue but still gathering (max_wait) must
+        count as active — idle=False for the whole gather window."""
+        fake = FakeSynth(call_duration=0.01)
+        b = make_batcher(fake)  # max_wait 40ms
+        try:
+            assert b.idle
+            b.submit([1], speaker=0)
+            time.sleep(0.015)  # inside the gather window, before dispatch
+            assert not b.idle
+            time.sleep(0.2)
+            assert b.idle
+        finally:
+            b.shutdown()
+
+    def test_drain_with_pipeline_waits_for_inflight(self):
+        fake = FakeSynth(call_duration=0.1)
+        b = make_batcher(fake, pipeline=3)
+        futs = [b.submit([i], speaker=0, n_timesteps=2 + i) for i in range(3)]
+        time.sleep(0.05)  # let groups enter flight
+        assert b.drain(timeout_s=5) is True
+        for f in futs:
+            assert f.result(timeout=1) is not None

@@ -295,3 +295,83 @@ class TestPipelinedServer:
             t.join(timeout=600)
         assert len(results) == 4
         assert all(st == 200 and n > 0 for st, n in results.values())
+
+
+class TestGracefulShutdown:
+    """SIGTERM drain: in-flight work finishes, new work is refused, the
+    HTTP loop stops (serving/server.py::begin_drain)."""
+
+    def _make(self):
+        import time as _t
+
+        from matcha_tpu.inference import SynthesisResult
+
+        class StubSynth:
+            def synthesise_batch(self, id_lists, **kw):
+                _t.sleep(0.2)  # slow enough to still be in flight at drain
+                return [
+                    SynthesisResult(wav=np.zeros(100, np.float32), rtf=0.1)
+                    for _ in id_lists
+                ]
+
+        service = TTSService(StubSynth(), use_batcher=True)
+        service.ready = True
+        service.warming = False
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return service, httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    def test_drain_finishes_inflight_then_refuses(self):
+        from matcha_tpu.serving.server import begin_drain
+
+        service, httpd, base = self._make()
+        try:
+            results = {}
+
+            def req():
+                results["resp"] = post(
+                    f"{base}/v1/audio/speech",
+                    {"phoneme_ids": [1, 2, 3], "voice": "0",
+                     "response_format": "wav"},
+                )
+
+            th = threading.Thread(target=req)
+            th.start()
+            import time as _t
+
+            _t.sleep(0.08)  # request accepted, synthesis in flight
+            assert begin_drain(service, httpd, timeout_s=5) is True
+            th.join(timeout=5)
+            status, ctype, audio = results["resp"]
+            assert status == 200 and audio[:4] == b"RIFF"
+            # new work is refused at the batcher
+            try:
+                service.batcher.submit([1], speaker=0)
+                raise AssertionError("submit after drain must raise")
+            except RuntimeError:
+                pass
+        finally:
+            httpd.server_close()
+
+    def test_draining_state_503s(self):
+        service, httpd, base = self._make()
+        try:
+            service.draining = True
+            body = None
+            try:
+                urllib.request.urlopen(f"{base}/health", timeout=5)
+                raise AssertionError("health while draining must be 503")
+            except urllib.error.HTTPError as exc:
+                assert exc.code == 503
+                body = json.loads(exc.read())
+            assert body == {"status": "draining"}
+            try:
+                post(f"{base}/v1/audio/speech",
+                     {"phoneme_ids": [1], "voice": "0"})
+                raise AssertionError("speech while draining must be 503")
+            except urllib.error.HTTPError as exc:
+                assert exc.code == 503
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            service.batcher.shutdown()
