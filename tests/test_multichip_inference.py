@@ -113,3 +113,16 @@ class TestMeshFanout:
         ids = list(np.random.default_rng(4).integers(0, 600, 10))
         r = fanout.synthesise_ids(ids, speaker=0, n_timesteps=2, fused=True)
         assert np.isfinite(r.wav).all()
+
+
+def test_progressive_hook_sees_device_multiple_rungs(synths):
+    """Under a mesh, warmup pads the group ladder to device multiples; the
+    progressive-warmup hook must therefore only ever report padded rungs —
+    a b=1 shard over 8 devices cannot exist, so the server's group cap can
+    never admit a group whose padded program isn't warm."""
+    _, fanout = synths
+    seen = []
+    fanout.warmup(
+        n_timesteps=2, batch_sizes=(1, 2, 16), on_size_ready=seen.append
+    )
+    assert seen == [8, 16]

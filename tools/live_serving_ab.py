@@ -41,6 +41,11 @@ USERS = tuple(
 LEGS = tuple(
     int(b) for b in os.environ.get("AB_LEGS", "8,16").split(",")
 )
+# second leg dimension: SERVE_FUSED values to sweep (e.g. AB_FUSED=0,1
+# with AB_LEGS=16 measures the fused-group dispatch lever live)
+FUSED_LEGS = tuple(
+    int(f) for f in os.environ.get("AB_FUSED", "0").split(",")
+)
 
 
 def ensure_artifacts():
@@ -103,12 +108,13 @@ def parse_report(text: str) -> dict:
     return out
 
 
-def run_leg(max_batch: int) -> dict:
+def run_leg(max_batch: int, fused: int = 0) -> dict:
     env = dict(
         os.environ,
         CHECKPOINT_PATH=str(CKPT),
         VOCODER_PATH=str(VOCOS),
         PORT=str(PORT),
+        SERVE_FUSED=str(fused),
         BATCHER_MAX_BATCH=str(max_batch),
         WARMUP_BATCH_SIZES=",".join(
             str(1 << i) for i in range((max_batch).bit_length())
@@ -121,12 +127,12 @@ def run_leg(max_batch: int) -> dict:
         ),
         JAX_CACHE_DIR="/tmp/jax_cache",
     )
-    log = open(f"/tmp/server_ab_b{max_batch}.log", "w")
+    log = open(f"/tmp/server_ab_b{max_batch}_f{fused}.log", "w")
     server = subprocess.Popen(
         [sys.executable, "-m", "matcha_tpu.serving.server"],
         env=env, cwd=str(REPO), stdout=log, stderr=subprocess.STDOUT,
     )
-    leg = {"max_batch": max_batch}
+    leg = {"max_batch": max_batch, "fused": fused}
     try:
         leg["warmup_s"] = round(wait_health(), 1)
         for users in USERS:
@@ -162,8 +168,9 @@ def main():
     ensure_artifacts()
     report = {"minutes_per_cell": MINUTES, "users": list(USERS), "legs": []}
     for b in LEGS:
-        print(f"=== leg max_batch={b} ===", file=sys.stderr)
-        report["legs"].append(run_leg(b))
+        for f in FUSED_LEGS:
+            print(f"=== leg max_batch={b} fused={f} ===", file=sys.stderr)
+            report["legs"].append(run_leg(b, f))
     print(json.dumps(report, indent=2))
 
 
