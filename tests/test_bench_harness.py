@@ -76,6 +76,27 @@ def test_measure_fused_fields(synth):
     assert point["y_fine_len"] in s.mel_fine_buckets
 
 
+@pytest.mark.slow
+def test_measure_fused_batched_headline_point(synth):
+    """The headline point: fused single-dispatch at batch with the mel
+    bucket PINNED to the two-stage comparison bucket, so the audio
+    accounting is identical, plus the FLOP count for the MFU estimate."""
+    cfg, s = synth
+    point = bench.measure_fused(
+        s, cfg, batch=2, iters=2, tx=16, y_fine_len=64, with_flops=True
+    )
+    assert point["batch"] == 2
+    assert point["y_fine_len"] == 64  # pinned, not predicted
+    assert point["total_ms"] > 0 and point["rtf"] > 0
+    assert np.isfinite(point.get("flops", 0.0))
+    # same audio accounting as bench.measure at the same (batch, bucket)
+    two = bench.measure(s, cfg, batch=2, iters=2, tx=16, y_fine_len=64)
+    assert point["rtf"] * point["total_ms"] > 0  # both finite/positive
+    assert abs(
+        point["total_ms"] / point["rtf"] - two["total_ms"] / two["rtf"]
+    ) < 1e-3 * point["total_ms"] / point["rtf"]  # identical denominator
+
+
 class TestWaitForBackend:
     """Hermetic coverage of the bench/entry backend-wait retry loop."""
 
