@@ -342,6 +342,26 @@ def device_breakdown(point, iters=5, logdir="/tmp/bench_trace"):
         return {"error": f"{type(exc).__name__}: {exc}"}
 
 
+def pick_headline(two_stage_rtf, two_stage_flops, two_stage_ms, fused16):
+    """Headline = the fused single-dispatch point when it measured cleanly;
+    the two-stage point otherwise (fused16 may be None when BENCH_FUSED=0,
+    or an {"error": ...} dict — the headline must never die on the fused
+    probe).  Returns (rtf, path_label, mfu).  Mutates fused16 only to pop
+    its 'flops' (kept out of the printed JSON)."""
+    if isinstance(fused16, dict) and "rtf" in fused16:
+        rtf = fused16["rtf"]
+        path = "fused_single_dispatch_b16"
+        mfu_flops = fused16.pop("flops", 0.0) or two_stage_flops
+        mfu_ms = fused16["total_ms"]
+    else:
+        rtf, path = two_stage_rtf, "two_stage_b16"
+        mfu_flops, mfu_ms = two_stage_flops, two_stage_ms
+    mfu = (
+        mfu_flops / (mfu_ms / 1e3) / V5E_PEAK_FLOPS if mfu_flops else None
+    )
+    return rtf, path, mfu
+
+
 def main():
     import dataclasses
 
@@ -384,17 +404,8 @@ def main():
             )
         except Exception as exc:  # never break the headline
             fused16 = {"error": f"{type(exc).__name__}: {exc}"}
-    if isinstance(fused16, dict) and "rtf" in fused16:
-        rtf = fused16["rtf"]
-        headline_path = "fused_single_dispatch_b16"
-        mfu_flops = fused16.pop("flops", 0.0) or flops
-        mfu_ms = fused16["total_ms"]
-    else:
-        rtf = two_stage_rtf
-        headline_path = "two_stage_b16"
-        mfu_flops, mfu_ms = flops, head["total_ms"]
-    mfu = (
-        mfu_flops / (mfu_ms / 1e3) / V5E_PEAK_FLOPS if mfu_flops else None
+    rtf, headline_path, mfu = pick_headline(
+        two_stage_rtf, flops, head["total_ms"], fused16
     )
 
     # p50 single-utterance latency: one request, both stages

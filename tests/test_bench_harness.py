@@ -97,6 +97,29 @@ def test_measure_fused_batched_headline_point(synth):
     ) < 1e-3 * point["total_ms"] / point["rtf"]  # identical denominator
 
 
+def test_pick_headline_selection():
+    """Fused point wins the headline only when it measured cleanly; error
+    dicts and BENCH_FUSED=0 (None) fall back to the two-stage point."""
+    peak = bench.V5E_PEAK_FLOPS
+    ok = {"rtf": 0.001, "total_ms": 90.0, "flops": 9e11}
+    rtf, path, mfu = bench.pick_headline(0.00126, 9e11, 110.0, dict(ok))
+    assert (rtf, path) == (0.001, "fused_single_dispatch_b16")
+    assert abs(mfu - 9e11 / 0.090 / peak) < 1e-9
+
+    for bad in (None, {"error": "XlaRuntimeError: boom"}):
+        rtf, path, mfu = bench.pick_headline(0.00126, 9e11, 110.0, bad)
+        assert (rtf, path) == (0.00126, "two_stage_b16")
+        assert abs(mfu - 9e11 / 0.110 / peak) < 1e-9
+
+    # fused measured but cost-analysis unavailable: MFU falls back to the
+    # two-stage FLOP count over the fused time
+    rtf, path, mfu = bench.pick_headline(
+        0.00126, 9e11, 110.0, {"rtf": 0.001, "total_ms": 90.0, "flops": 0.0}
+    )
+    assert path == "fused_single_dispatch_b16"
+    assert abs(mfu - 9e11 / 0.090 / peak) < 1e-9
+
+
 class TestWaitForBackend:
     """Hermetic coverage of the bench/entry backend-wait retry loop."""
 
