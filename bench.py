@@ -211,14 +211,19 @@ def measure_fused(
         return wav, total
 
     wav, total = run(x_all[-1])  # warmup/compile
-    _ = float(jnp.sum(wav[:, :8])) + int(np.asarray(total)[0])
+    s0, t0_ = jax.device_get((jnp.sum(wav[:, :8]), total))
+    _ = float(s0) + int(t0_[0])
 
     checksum, times = 0.0, []
     for i in range(iters):
         t0 = time.perf_counter()
         wav, total = run(x_all[i])
-        # force exec + the same D2H pattern serving does (total + wav slice)
-        checksum += float(jnp.sum(wav[:, :8])) + int(np.asarray(total)[0])
+        # force exec + the same D2H pattern serving does: ONE overlapped
+        # device_get carrying both outputs (inference.py::_pull_together
+        # pulls (total, wav) in a single transport round-trip; round 5 —
+        # previously two serialized pulls, each a full tunnel RTT)
+        s, t = jax.device_get((jnp.sum(wav[:, :8]), total))
+        checksum += float(s) + int(t[0])
         times.append(time.perf_counter() - t0)
 
     elapsed = float(np.median(times))
@@ -346,20 +351,26 @@ def pick_headline(two_stage_rtf, two_stage_flops, two_stage_ms, fused16):
     """Headline = the fused single-dispatch point when it measured cleanly;
     the two-stage point otherwise (fused16 may be None when BENCH_FUSED=0,
     or an {"error": ...} dict — the headline must never die on the fused
-    probe).  Returns (rtf, path_label, mfu).  Mutates fused16 only to pop
-    its 'flops' (kept out of the printed JSON)."""
+    probe).  Returns (rtf, path_label, mfu, mfu_flops_source) — the source
+    label says which program's cost analysis supplied the MFU numerator
+    (the fused program's own count, or the two-stage fallback when XLA
+    reported 0 for the fused executable).  Mutates fused16 only to pop its
+    'flops' (kept out of the printed JSON)."""
     if isinstance(fused16, dict) and "rtf" in fused16:
         rtf = fused16["rtf"]
         path = "fused_single_dispatch_b16"
-        mfu_flops = fused16.pop("flops", 0.0) or two_stage_flops
+        fused_flops = fused16.pop("flops", 0.0)
+        mfu_flops = fused_flops or two_stage_flops
+        mfu_src = "fused" if fused_flops else "two_stage"
         mfu_ms = fused16["total_ms"]
     else:
         rtf, path = two_stage_rtf, "two_stage_b16"
         mfu_flops, mfu_ms = two_stage_flops, two_stage_ms
+        mfu_src = "two_stage"
     mfu = (
         mfu_flops / (mfu_ms / 1e3) / V5E_PEAK_FLOPS if mfu_flops else None
     )
-    return rtf, path, mfu
+    return rtf, path, mfu, mfu_src
 
 
 def main():
@@ -404,7 +415,7 @@ def main():
             )
         except Exception as exc:  # never break the headline
             fused16 = {"error": f"{type(exc).__name__}: {exc}"}
-    rtf, headline_path, mfu = pick_headline(
+    rtf, headline_path, mfu, mfu_src = pick_headline(
         two_stage_rtf, flops, head["total_ms"], fused16
     )
 
@@ -454,6 +465,7 @@ def main():
         "vs_baseline": round(rtf / target, 4),
         "headline_path": headline_path,
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "mfu_flops_source": mfu_src,
         "latency_p50_b1_ms": lat["total_ms"],
         "latency_p50_b1_fused_ms": (
             fused.get("total_ms") if isinstance(fused, dict) else None

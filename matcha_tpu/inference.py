@@ -77,6 +77,19 @@ MAX_LENGTH_SCALE = 2.0
 MAX_SCALE_CORRECTION = max(v["scale_correction"] for v in VOICES)
 
 
+def _pull_together(*arrays):
+    """ONE overlapped device→host transfer for several arrays.
+
+    ``jax.device_get`` starts an async copy of EVERY leaf before blocking
+    on any of them, so N outputs cost one transport round-trip instead of
+    N serialized pulls — each serialized pull is a full RTT (~25 ms
+    measured through the remote-dispatch dev tunnel).  The serving paths
+    route every multi-output pull through here so tests can pin the
+    one-transfer invariant (tests/test_inference_e2e.py).
+    """
+    return tuple(np.asarray(a) for a in jax.device_get(list(arrays)))
+
+
 def voice_by_id(speaker_id: int | str) -> dict[str, Any]:
     sid = str(speaker_id)
     for v in VOICES:
@@ -559,14 +572,22 @@ class MatchaSynthesizer:
                 n_timesteps=n_timesteps,
                 solver=solver,
             )
-            total_fine = int(np.asarray(total_dev)[0])
+            # optimistic ONE-transfer pull of (total, wav): blocking on the
+            # total-duration scalar first and pulling the waveform after
+            # would serialize two transport round-trips on the one path
+            # built to minimize round-trips; the wav bytes are wasted only
+            # on the rare overflow fallback below
+            if wav is not None:
+                total_np, wav_full = _pull_together(total_dev, wav)
+            else:
+                (total_np,) = _pull_together(total_dev)
+                wav_full = None
+            total_fine = int(total_np[0])
             if total_fine <= y_fine_len:
                 n_frames = (max(total_fine, 2) + 1) // 2
-                if wav is not None:
+                if wav_full is not None:
                     n_samples = max((n_frames - 1) * STD_RES_HOP_LENGTH, 0)
-                    wav_np = trim_trailing_silence(
-                        np.asarray(wav)[0, :n_samples]
-                    )
+                    wav_np = trim_trailing_silence(wav_full[0, :n_samples])
                 else:
                     wav_np = np.zeros((0,), np.float32)
                 elapsed = time.perf_counter() - t0
@@ -587,7 +608,8 @@ class MatchaSynthesizer:
 
         # host-side reduction: durations come back D2H once; a device-side
         # jnp.sum would be its own tiny compiled program per shape
-        total_fine = int(np.asarray(durations).sum(axis=1)[0])
+        durations_np = np.asarray(durations)
+        total_fine = int(durations_np.sum(axis=1)[0])
         total_fine = max(total_fine, 2)
         # guard: clamp runaway duration predictions to the largest bucket
         # (trailing frames are truncated) rather than failing the request
@@ -614,12 +636,17 @@ class MatchaSynthesizer:
         )
 
         n_frames = (total_fine + 1) // 2
-        # transfer whole outputs D2H once, slice on host: device-side slices
-        # would compile one tiny program per distinct request length
-        mel_np = np.asarray(mel)[0, :n_frames]
+        # transfer whole outputs D2H in ONE overlapped pull, slice on host:
+        # device-side slices would compile one tiny program per distinct
+        # request length, and serialized pulls each cost a transport RTT.
+        # The mel rides the pull only when the caller asked for it (debug).
+        pulled = _pull_together(
+            *([mel] if debug else []), *([wav] if wav is not None else [])
+        )
+        mel_np = pulled[0][0, :n_frames] if debug else None
         if wav is not None:
             n_samples = max((n_frames - 1) * STD_RES_HOP_LENGTH, 0)
-            wav_np = trim_trailing_silence(np.asarray(wav)[0, :n_samples])
+            wav_np = trim_trailing_silence(pulled[-1][0, :n_samples])
         else:
             wav_np = np.zeros((0,), np.float32)
         elapsed = time.perf_counter() - t0
@@ -632,8 +659,8 @@ class MatchaSynthesizer:
             wav=wav_np,
             rtf=rtf,
             latency_s=elapsed,
-            mel=mel_np if debug else None,
-            durations=np.asarray(durations)[0, : np.count_nonzero(x[0])]
+            mel=mel_np,
+            durations=durations_np[0, : np.count_nonzero(x[0])]
             if debug
             else None,
         )
@@ -725,10 +752,18 @@ class MatchaSynthesizer:
                 n_timesteps=n_timesteps,
                 solver=solver,
             )
-            totals = np.asarray(total_dev).astype(int)
+            # optimistic ONE-transfer pull (see _pull_together): the group's
+            # waveforms ride the same round-trip as the totals; wasted only
+            # when an utterance overflows and the two-stage retry runs
+            if wav is not None:
+                totals, wav_np = _pull_together(total_dev, wav)
+            else:
+                (totals,) = _pull_together(total_dev)
+                wav_np = None
+            totals = totals.astype(int)
             if int(totals[:b].max(initial=2)) <= yf_pred:
                 totals = np.clip(totals, 2, yf_pred)
-                return self._collect_batch_results(b, wav, totals, t0)
+                return self._collect_batch_results(b, wav_np, totals, t0)
             # overflow in at least one utterance: fall through to the exact
             # two-stage path (costs the same two dispatches as non-fused)
 

@@ -91,11 +91,15 @@ class TTSService:
         self._active_http = 0
         self._http_lock = threading.Lock()
         self.batcher = None
-        # SERVE_FUSED=1: serial requests go through the single-dispatch
-        # fused program (half the per-request fixed dispatch cost — the
-        # dominant B=1 term per documentation/performance.md); rare bucket
-        # overflows transparently fall back to the exact two-stage path
-        self.fused = os.environ.get("SERVE_FUSED", "0") == "1"
+        # SERVE_FUSED (default ON, round 5): requests go through the
+        # single-dispatch fused program — half the per-request fixed
+        # dispatch cost (the dominant B=1 term per
+        # documentation/performance.md), hardware-parity-gated at
+        # 0.009 dB vs two-stage in tests/test_tpu_e2e.py, and the path
+        # bench.py headlines.  Rare bucket overflows transparently fall
+        # back to the exact two-stage pair; SERVE_FUSED=0 restores
+        # two-stage everywhere.
+        self.fused = os.environ.get("SERVE_FUSED", "1") == "1"
         if use_batcher:
             from matcha_tpu.serving.batcher import RequestBatcher
 

@@ -89,12 +89,16 @@ def test_measure_fused_batched_headline_point(synth):
     assert point["y_fine_len"] == 64  # pinned, not predicted
     assert point["total_ms"] > 0 and point["rtf"] > 0
     assert np.isfinite(point.get("flops", 0.0))
-    # same audio accounting as bench.measure at the same (batch, bucket)
+    # same audio accounting as bench.measure at the same (batch, bucket):
+    # assert each probe's denominator against the SHARED formula directly —
+    # reconstructing it as rounded total_ms / unrounded rtf can exceed a
+    # relative tolerance at sub-ms elapsed times on a fast CPU
+    audio_s = 2 * (64 // 2 - 1) * 256 / 24000
     two = bench.measure(s, cfg, batch=2, iters=2, tx=16, y_fine_len=64)
-    assert point["rtf"] * point["total_ms"] > 0  # both finite/positive
-    assert abs(
-        point["total_ms"] / point["rtf"] - two["total_ms"] / two["rtf"]
-    ) < 1e-3 * point["total_ms"] / point["rtf"]  # identical denominator
+    for p in (point, two):
+        # total_ms is rounded to 3 decimals; rtf * audio_s is the unrounded
+        # elapsed seconds — they must agree to the rounding quantum
+        assert abs(p["rtf"] * audio_s * 1e3 - p["total_ms"]) <= 5.1e-4
 
 
 def test_pick_headline_selection():
@@ -102,21 +106,22 @@ def test_pick_headline_selection():
     dicts and BENCH_FUSED=0 (None) fall back to the two-stage point."""
     peak = bench.V5E_PEAK_FLOPS
     ok = {"rtf": 0.001, "total_ms": 90.0, "flops": 9e11}
-    rtf, path, mfu = bench.pick_headline(0.00126, 9e11, 110.0, dict(ok))
-    assert (rtf, path) == (0.001, "fused_single_dispatch_b16")
+    rtf, path, mfu, src = bench.pick_headline(0.00126, 9e11, 110.0, dict(ok))
+    assert (rtf, path, src) == (0.001, "fused_single_dispatch_b16", "fused")
     assert abs(mfu - 9e11 / 0.090 / peak) < 1e-9
 
     for bad in (None, {"error": "XlaRuntimeError: boom"}):
-        rtf, path, mfu = bench.pick_headline(0.00126, 9e11, 110.0, bad)
-        assert (rtf, path) == (0.00126, "two_stage_b16")
+        rtf, path, mfu, src = bench.pick_headline(0.00126, 9e11, 110.0, bad)
+        assert (rtf, path, src) == (0.00126, "two_stage_b16", "two_stage")
         assert abs(mfu - 9e11 / 0.110 / peak) < 1e-9
 
     # fused measured but cost-analysis unavailable: MFU falls back to the
-    # two-stage FLOP count over the fused time
-    rtf, path, mfu = bench.pick_headline(
+    # two-stage FLOP count over the fused time, and the source label says so
+    rtf, path, mfu, src = bench.pick_headline(
         0.00126, 9e11, 110.0, {"rtf": 0.001, "total_ms": 90.0, "flops": 0.0}
     )
     assert path == "fused_single_dispatch_b16"
+    assert src == "two_stage"
     assert abs(mfu - 9e11 / 0.090 / peak) < 1e-9
 
 

@@ -97,6 +97,31 @@ class TestSynthesiseIds:
         one = synth.synthesise_ids(ids, speaker=0, n_timesteps=2, fused=True)
         np.testing.assert_array_equal(one.wav, two.wav)
 
+    def test_fused_pulls_total_and_wav_in_one_transfer(self, synth, monkeypatch):
+        """The fused path must perform exactly ONE device→host pull carrying
+        BOTH the total-duration scalar and the waveform (an optimistic
+        overlapped transfer) — serialized pulls cost a full transport RTT
+        each on remote-dispatch backends (documentation/performance.md)."""
+        import matcha_tpu.inference as inf
+
+        calls = []
+        real = inf._pull_together
+        monkeypatch.setattr(
+            inf, "_pull_together",
+            lambda *arrays: calls.append(len(arrays)) or real(*arrays),
+        )
+        ids = list(np.random.default_rng(11).integers(0, 600, 10))
+        r = synth.synthesise_ids(ids, speaker=0, n_timesteps=2, fused=True)
+        assert np.isfinite(r.wav).all()
+        assert calls == [2], f"expected one 2-leaf pull, saw {calls}"
+
+        calls.clear()
+        batch = synth.synthesise_batch(
+            [ids, ids[:6]], speakers=[0, 1], n_timesteps=2, fused=True
+        )
+        assert len(batch) == 2
+        assert calls == [2], f"expected one 2-leaf pull, saw {calls}"
+
     def test_fused_batch_matches_two_stage(self, synth):
         rng = np.random.default_rng(6)
         id_lists = [list(rng.integers(0, 600, n)) for n in (8, 12, 5)]

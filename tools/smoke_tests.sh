@@ -5,12 +5,12 @@
 # is < ~2 s (measured with --durations; model-forward/trainer/server suites
 # are excluded).
 #
-# Hardware tiers (real TPU, run before a release or kernel change):
-#   MATCHA_TESTS_TPU=1 python -m pytest tests/test_mas_pallas.py \
-#       tests/test_attention.py -q          # per-kernel compiled Mosaic
-#   MATCHA_TESTS_TPU=1 python -m pytest tests/test_tpu_e2e.py -q
-#       # FULL production graph on the chip: bf16 synthesise + one train
-#       # step vs a CPU fp32 oracle subprocess (mel MCD + loss bars)
+# Hardware tiers (real TPU, run before a release or kernel change) — one
+# command, drops a per-round JSON artifact (documentation/hw_gate_r*.json)
+# with the measured on-chip MCDs so the gate's greenness is auditable:
+#   python tools/hw_gate.py --out documentation/hw_gate_r5.json
+# (equivalently by hand: MATCHA_TESTS_TPU=1 python -m pytest
+#  tests/test_mas_pallas.py tests/test_attention.py tests/test_tpu_e2e.py)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
