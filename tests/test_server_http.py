@@ -127,6 +127,40 @@ class TestHttpServer:
             service.warming = old
 
 
+class TestFusedDefault:
+    """SERVE_FUSED defaults ON (round 5): the service routes requests and
+    warmup through the single-dispatch fused program unless SERVE_FUSED=0."""
+
+    def test_default_is_fused_and_propagates(self, monkeypatch):
+        monkeypatch.delenv("SERVE_FUSED", raising=False)
+
+        class Synth:
+            def warmup(self, full=False, batch_sizes=(1,), fused=False):
+                self.warm_fused = fused
+
+        service = TTSService(Synth(), use_batcher=True)
+        try:
+            assert service.fused
+            assert service.batcher.fused
+            service.warmup()
+            assert service.synth.warm_fused  # warmup compiles the fused ladder
+        finally:
+            service.batcher.shutdown()
+
+    def test_opt_out(self, monkeypatch):
+        monkeypatch.setenv("SERVE_FUSED", "0")
+
+        class Synth:
+            pass
+
+        service = TTSService(Synth(), use_batcher=True)
+        try:
+            assert not service.fused
+            assert not service.batcher.fused
+        finally:
+            service.batcher.shutdown()
+
+
 class TestProgressiveWarmup:
     """WARMUP_PROGRESSIVE=1: /health flips ready after the first group
     size's programs are warm, the batcher's group cap follows the warmed

@@ -44,8 +44,10 @@ _SUMMARY_RE = re.compile(r"(\d+) passed(?:, (\d+) skipped)?")
 
 def run_tier(name: str, paths: list[str], timeout_s: float) -> dict:
     t0 = time.time()
+    # no explicit -q: pyproject addopts already passes one, and a SECOND
+    # -q suppresses the "N passed" summary line this parses
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", "-s", *paths],
+        [sys.executable, "-m", "pytest", "-s", *paths],
         env={"MATCHA_TESTS_TPU": "1", **__import__("os").environ},
         capture_output=True,
         text=True,
