@@ -449,10 +449,20 @@ class MatchaSynthesizer:
             params, vocos_params, x, x_lengths, spk_enc, spk_dur, scale, noise
         )
 
+    # fine frames a voiced token tends to expand to at pace 1.0 — a CORPUS
+    # statistic of the trained model (~8 frames = 40 ms for the reference
+    # corpus).  Deployments whose checkpoint speaks at a different pace set
+    # FUSED_FRAMES_PER_TOKEN (serving) or this attribute: too high wastes
+    # compute + D2H on oversized fused mel buckets; too low overflows into
+    # the two-dispatch fallback.  Every (pre, P, post) triple is ~2 ids,
+    # hence the tx//2 below.
+    fused_frames_per_token: float = 8.0
+
     def predict_fine_bucket(self, tx: int, scale: float = 1.0) -> int:
-        """Mel bucket guess from the text bucket: ~8 fine frames (40 ms) per
-        token at pace 1.0, times the request's effective duration scale
-        (scale_correction × length_scale), clamped to the ladder.
+        """Mel bucket guess from the text bucket: ``fused_frames_per_token``
+        fine frames per token at pace 1.0, times the request's effective
+        duration scale (scale_correction × length_scale), clamped to the
+        ladder.
 
         The scale multiply matters: durations scale linearly with pace
         (reference: matcha/inference.py:130-134), so without it every
@@ -460,7 +470,7 @@ class MatchaSynthesizer:
         overflowed the text-predicted bucket and silently paid the
         two-dispatch fallback — SERVE_FUSED stopped helping exactly for the
         longest-latency requests."""
-        expect = int((tx // 2) * 8 * max(scale, 0.0))
+        expect = int((tx // 2) * self.fused_frames_per_token * max(scale, 0.0))
         expect = min(max(expect, 1), self.mel_fine_buckets[-1])
         return pick_bucket(expect, self.mel_fine_buckets)
 
@@ -941,7 +951,8 @@ class MatchaSynthesizer:
         else:
             pairs = []
             for tx in self.text_buckets:
-                expect = (tx // 2) * 8  # ≈8 fine frames (40 ms) per token
+                # most-likely mel bucket at the model's pace statistic
+                expect = int((tx // 2) * self.fused_frames_per_token)
                 expect = min(expect, self.mel_fine_buckets[-1])  # clamp: every
                 # text bucket gets a warm pair even past the mel ladder top
                 pairs.append((tx, pick_bucket(expect, self.mel_fine_buckets)))

@@ -527,6 +527,15 @@ def main():
         mel_fine_buckets=tuple(int(x) for x in mb.split(",")) if mb else DEFAULT_MEL_FINE_BUCKETS,
         mesh=mesh,
     )
+    # FUSED_FRAMES_PER_TOKEN: the trained model's pace statistic (fine
+    # frames per token at speed 1.0) driving the fused path's mel-bucket
+    # prediction and the warmup ladder.  Default 8 (~40 ms/token, the
+    # reference corpus).  Mis-set it and fused either wastes compute/D2H
+    # on oversized buckets (too high) or falls back to two dispatches on
+    # overflow (too low).
+    fpt = os.environ.get("FUSED_FRAMES_PER_TOKEN")
+    if fpt:
+        synth.fused_frames_per_token = float(fpt)
     service = TTSService(
         synth, use_batcher=os.environ.get("USE_BATCHER", "1") == "1"
     )

@@ -170,6 +170,17 @@ class TestSynthesiseIds:
         # the warm set is the contiguous rung range over the pace clamp
         assert synth.fused_warm_buckets(16) == [64, 128, 256]
 
+    def test_fused_frames_per_token_is_tunable(self, synth, monkeypatch):
+        """The frames-per-token pace statistic driving the fused bucket
+        prediction is a deployment knob (FUSED_FRAMES_PER_TOKEN): a model
+        that speaks ~1 fine frame/token must predict the small rung, not
+        8× oversized buckets that waste compute and D2H on every group."""
+        monkeypatch.setattr(synth, "fused_frames_per_token", 1.0)
+        assert synth.predict_fine_bucket(16) == 64      # floor rung
+        assert synth.predict_fine_bucket(256, 1.0) == 128  # 128 tokens ≈ 128 frames
+        monkeypatch.setattr(synth, "fused_frames_per_token", 16.0)
+        assert synth.predict_fine_bucket(16, 1.0) == 128
+
     def test_fused_pace_request_hits_warmed_program(self, synth):
         """A length_scale=2.0 fused request must complete in ONE dispatch
         (no two-stage fallback) against a program the fused warmup already

@@ -13,6 +13,13 @@ Each leg reuses the persistent compilation cache (/tmp/jax_cache), so
 only the first boot ever pays the bucket-ladder compiles.  The server is
 terminated only when idle (after a leg's load test has fully drained) —
 never mid-dispatch, per documentation/dev-notes.md.
+
+Knobs (env): AB_LEGS (max_batch values), AB_FUSED (SERVE_FUSED sweep),
+AB_USERS, AB_MINUTES, AB_HEALTH_TIMEOUT (warmup wait, default 3600 s).
+TEXT_BUCKETS / MEL_BUCKETS pass through to the server — trim them to the
+workload's buckets (the documented ops lever) when the full fused ladder
+would exceed the warmup wait; the load test's --ids lengths are 20–110
+tokens, i.e. TEXT_BUCKETS=64,128.
 """
 
 from __future__ import annotations
@@ -76,7 +83,9 @@ print("artifacts ready")
     )
 
 
-def wait_health(timeout_s: float = 3600) -> float:
+def wait_health(
+    timeout_s: float = float(os.environ.get("AB_HEALTH_TIMEOUT", "3600")),
+) -> float:
     t0 = time.time()
     while time.time() - t0 < timeout_s:
         try:
