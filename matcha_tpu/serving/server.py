@@ -100,6 +100,15 @@ class TTSService:
         # back to the exact two-stage pair; SERVE_FUSED=0 restores
         # two-stage everywhere.
         self.fused = os.environ.get("SERVE_FUSED", "1") == "1"
+        # DEFAULT_STEPS / DEFAULT_SOLVER: the operating point requests get
+        # when they don't name one, AND the point warmup compiles — the
+        # warmup-covers-serving invariant only holds for the default
+        # (solver, steps); per-request overrides still work but compile
+        # inline on first use.  The measured fast mode is euler/4 — half
+        # the U-Net evals of midpoint/4 at reference-equivalent trained
+        # MCD (documentation/performance.md "Fast ODE operating point").
+        self.default_steps = int(os.environ.get("DEFAULT_STEPS", "4"))
+        self.default_solver = os.environ.get("DEFAULT_SOLVER", "midpoint")
         if use_batcher:
             from matcha_tpu.serving.batcher import RequestBatcher
 
@@ -154,6 +163,8 @@ class TTSService:
                 self.ready = True
 
             self.synth.warmup(
+                n_timesteps=self.default_steps,
+                solver=self.default_solver,
                 full=full,
                 batch_sizes=sizes,
                 fused=self.fused,
@@ -161,12 +172,17 @@ class TTSService:
             )
             self.batcher.set_group_cap(None)
         else:
-            self.synth.warmup(full=full, batch_sizes=sizes, fused=self.fused)
+            self.synth.warmup(
+                n_timesteps=self.default_steps,
+                solver=self.default_solver,
+                full=full,
+                batch_sizes=sizes,
+                fused=self.fused,
+            )
         self.ready = True
         self.warming = False
 
-    @staticmethod
-    def _parse_common(body: dict, max_text: int = None) -> dict:
+    def _parse_common(self, body: dict, max_text: int = None) -> dict:
         """Validate/normalize the request fields shared by speak paths."""
         text = body.get("input", "")
         ids = body.get("phoneme_ids")  # pretokenized path: skips eSpeak
@@ -185,8 +201,8 @@ class TTSService:
             "ids": ids,
             "voice_mix": parse_voice(body.get("voice", "0")),
             "length_scale": float(np.clip(1.0 / max(speed, 1e-3), 0.1, 2.0)),
-            "steps": int(body.get("steps", 4)),
-            "solver": body.get("solver", "midpoint"),
+            "steps": int(body.get("steps", self.default_steps)),
+            "solver": body.get("solver", self.default_solver),
         }
 
     def speak(self, body: dict) -> tuple[bytes, str]:

@@ -135,8 +135,10 @@ class TestFusedDefault:
         monkeypatch.delenv("SERVE_FUSED", raising=False)
 
         class Synth:
-            def warmup(self, full=False, batch_sizes=(1,), fused=False):
+            def warmup(self, full=False, batch_sizes=(1,), fused=False,
+                       **point):
                 self.warm_fused = fused
+                self.warm_point = (point.get("n_timesteps"), point.get("solver"))
 
         service = TTSService(Synth(), use_batcher=True)
         try:
@@ -161,6 +163,40 @@ class TestFusedDefault:
             service.batcher.shutdown()
 
 
+class TestServingOperatingPoint:
+    """DEFAULT_STEPS / DEFAULT_SOLVER select the server's ODE operating
+    point (e.g. the measured euler/4 fast mode): unnamed requests get it
+    AND warmup compiles exactly that point, so the warmup-covers-serving
+    invariant holds for the deployment's default."""
+
+    def test_fast_mode_env_sets_request_default_and_warmup_point(
+        self, monkeypatch
+    ):
+        monkeypatch.setenv("DEFAULT_STEPS", "4")
+        monkeypatch.setenv("DEFAULT_SOLVER", "euler")
+
+        class Synth:
+            def warmup(self, full=False, batch_sizes=(1,), fused=False,
+                       **point):
+                self.warm_point = (
+                    point.get("n_timesteps"), point.get("solver")
+                )
+
+        service = TTSService(Synth(), use_batcher=True)
+        try:
+            req = service._parse_common({"phoneme_ids": [1, 2, 3]})
+            assert (req["steps"], req["solver"]) == (4, "euler")
+            # explicit per-request override still wins
+            req = service._parse_common(
+                {"phoneme_ids": [1], "steps": 2, "solver": "rk4"}
+            )
+            assert (req["steps"], req["solver"]) == (2, "rk4")
+            service.warmup()
+            assert service.synth.warm_point == (4, "euler")
+        finally:
+            service.batcher.shutdown()
+
+
 class TestProgressiveWarmup:
     """WARMUP_PROGRESSIVE=1: /health flips ready after the first group
     size's programs are warm, the batcher's group cap follows the warmed
@@ -175,7 +211,7 @@ class TestProgressiveWarmup:
         class StagedSynth:
             def warmup(
                 self, full=False, batch_sizes=(1,), fused=False,
-                on_size_ready=None,
+                on_size_ready=None, **point,
             ):
                 for b in batch_sizes:
                     # snapshot what a request arriving DURING this size's
@@ -206,7 +242,8 @@ class TestProgressiveWarmup:
         calls = []
 
         class PlainSynth:
-            def warmup(self, full=False, batch_sizes=(1,), fused=False):
+            def warmup(self, full=False, batch_sizes=(1,), fused=False,
+                       **point):
                 # no on_size_ready kwarg: the default path must not pass it
                 calls.append(batch_sizes)
 
